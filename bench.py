@@ -1,0 +1,162 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Measures the full extraction pipeline — read pages parquet -> fused
+mapInPandas extract -> aggregate — at ``$SPARK_GRAFT_SF_DIR`` on
+``local[$SPARK_GRAFT_CPUS]``, plus the north rule's two-cluster-size
+scaling evidence: the same job at local[N] and local[4N] on the same
+input, reporting throughput at both and efficiency = (thr@4N / thr@N) / 4.
+
+The pages corpus is derived deterministically from the sf documents table
+(each document rendered into a boilerplate-wrapped HTML page, replicated
+to BENCH_PAGES total rows with distinct urls) and cached as parquet so
+repeated bench runs measure extraction, not corpus synthesis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import pyspark.sql.functions as F
+
+from tesseract_rs_spark.config import ExtractConfig
+from tesseract_rs_spark.operators.extract import extract_text, extract_words
+from tesseract_rs_spark.session import get_spark
+from tesseract_rs_spark.sources.pages import pages_from_documents
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "400000"))
+SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
+# Scaling pair: N and 4N task slots, both capped at half the physical cores.
+# A mapInPandas task slot keeps ~2 threads busy (JVM scan/Arrow + the Python
+# worker), so local[cores] oversubscribes a single box and would understate
+# scaling that a real N->4N *executor* change delivers; both levels must fit
+# the machine for the comparison to be apples-to-apples (see BENCH.md).
+SCALE_LOW = max(1, CPUS // 8)
+SCALE_HIGH = max(2, CPUS // 2)
+SCALING_FRACTION = 2  # scaling runs use 1/2 of the corpus to bound wall time
+CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/tesseract_rs_spark_bench")
+
+
+def corpus_path() -> str:
+    tag = os.path.basename(os.path.normpath(SF_DIR))
+    return os.path.join(CACHE_ROOT, f"pages_{tag}_{BENCH_PAGES}.parquet")
+
+
+def ensure_corpus(spark) -> str:
+    path = corpus_path()
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    n_docs = docs.count()
+    replicate = max(1, -(-BENCH_PAGES // n_docs))
+    # distinct doc_ids per replica -> distinct urls (no key skew by design;
+    # oversized-document skew is exercised separately in tests)
+    replicated = (
+        docs.crossJoin(spark.range(replicate).withColumnRenamed("id", "rep"))
+        .withColumn("doc_id", F.col("doc_id") * replicate + F.col("rep"))
+        .drop("rep")
+    )
+    pages = pages_from_documents(replicated)
+    pages.repartition(max(64, CPUS * 4)).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_extract(spark, path: str, subset: int | None = None):
+    """One measured pipeline run: scan -> fused extract -> aggregate."""
+    pages = spark.read.parquet(path)
+    if subset:
+        pages = pages.filter(F.pmod(F.xxhash64("url"), F.lit(subset)) == 0)
+    res = extract_text(pages, ExtractConfig(), id_cols=("url",))
+    row = res.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_chars").alias("chars"),
+        F.sum(F.when(F.col("status") == "ok", 0).otherwise(1)).alias("errors"),
+    ).collect()[0]
+    return row["docs"], row["chars"], row["errors"]
+
+
+def timed_extract(spark, path: str, subset: int | None = None):
+    t0 = time.time()
+    docs, chars, errors = run_extract(spark, path, subset=subset)
+    return time.time() - t0, docs, chars, errors
+
+
+def median_extract(spark, path: str, runs: int = 3, subset: int | None = None):
+    """Warm-up once, then median of ``runs`` measured runs — the sandbox
+    shows heavy run-to-run noise (CPU frequency / co-tenancy), so a single
+    sample is not trustworthy."""
+    timed_extract(spark, path, subset=subset)
+    samples = [timed_extract(spark, path, subset=subset) for _ in range(runs)]
+    samples.sort(key=lambda s: s[0])
+    return samples[len(samples) // 2]
+
+
+def main() -> None:
+    results: dict = {}
+    spark = get_spark("bench", cores=CPUS)
+    path = ensure_corpus(spark)
+    total_bytes = (
+        spark.read.parquet(path).agg(F.sum(F.length("html"))).collect()[0][0]
+    )
+
+    sec, docs, chars, _ = median_extract(spark, path)
+    results["extract_text"] = round(sec, 3)
+    docs_per_sec = docs / sec
+    mb_per_sec = total_bytes / sec / 1e6
+
+    t0 = time.time()
+    n_words = (
+        extract_words(spark.read.parquet(path), ExtractConfig())
+        .agg(F.count("*"))
+        .collect()[0][0]
+    )
+    results["extract_words"] = round(time.time() - t0, 3)
+    spark.stop()
+
+    scaling = None
+    if SCALING:
+        levels = {}
+        for label, n, runs in (("low", SCALE_LOW, 2), ("high", SCALE_HIGH, 3)):
+            s = get_spark(f"bench-{label}", cores=n)
+            sec_n, docs_n, _, _ = median_extract(
+                s, path, runs=runs, subset=SCALING_FRACTION
+            )
+            s.stop()
+            levels[label] = (n, sec_n, docs_n / sec_n)
+        (nl, wl, tl), (nh, wh, th) = levels["low"], levels["high"]
+        scaling = {
+            "cores_low": nl,
+            "cores_high": nh,
+            "pages": int(levels["low"][2] * wl),
+            "wall_low_sec": round(wl, 3),
+            "wall_high_sec": round(wh, 3),
+            "docs_per_sec_low": round(tl, 1),
+            "docs_per_sec_high": round(th, 1),
+            "efficiency": round(th / tl / (nh / nl), 3),
+        }
+
+    out = {
+        "metric": "extraction pipeline wall time (read pages -> fused mapInPandas extract -> agg)",
+        "value": round(sum(results.values()), 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR,
+        "pages": int(docs),
+        "corpus_mb": round(total_bytes / 1e6, 1),
+        "docs_per_sec": round(docs_per_sec, 1),
+        "mb_per_sec": round(mb_per_sec, 1),
+        "chars_emitted": int(chars),
+        "words_rows": int(n_words),
+        "scaling": scaling,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

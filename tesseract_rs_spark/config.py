@@ -1,0 +1,90 @@
+"""Pipeline configuration — the analog of the reference's engine config.
+
+The reference records a ``TesseractConfiguration {datapath, language,
+variables: HashMap<String,String>}`` (/root/reference/src/api.rs:12-17) and
+replays it on ``try_clone`` (/root/reference/src/api.rs:1423-1446).  Our
+analog is an immutable dataclass that the driver broadcasts once; every
+executor task constructs its kernel state from it — Spark's task model *is*
+the clone-replay.
+
+Variable semantics we reproduce (string-typed map, parsed by the engine,
+/root/reference/src/api.rs:132-153):
+
+- ``tessedit_char_whitelist`` / ``tessedit_char_blacklist`` — restrict the
+  emitted character set (tests/integration_test.rs:102-106, 129-130).
+- ``preserve_interword_spaces`` — keep source whitespace runs instead of
+  collapsing to single spaces (tests/integration_test.rs:99-100).
+
+The page-segmentation-mode (PSM) analog selects the pipeline shape
+(/root/reference/src/enums.rs:4-20 via api.rs:259-266): for web pages the
+modes select how much layout analysis runs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+# PSM analog for web-page extraction (reference PSM: enums.rs:4-20).
+MODE_AUTO = 3          # full layout analysis + boilerplate classification (PSM_AUTO)
+MODE_SINGLE_BLOCK = 6  # treat the whole page as one block of text (PSM_SINGLE_BLOCK)
+MODE_RAW = 13          # raw text runs in source order, no boilerplate strip (PSM_RAW_LINE)
+
+_VALID_MODES = (MODE_AUTO, MODE_SINGLE_BLOCK, MODE_RAW)
+
+
+def mode_from_int(value: int) -> int:
+    """Total decode with default-on-invalid, mirroring the reference's
+    ``PageSegMode::from_int`` (out-of-range -> PSM_AUTO,
+    /root/reference/src/enums.rs:23-42)."""
+    return value if value in _VALID_MODES else MODE_AUTO
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    """Immutable extraction config; broadcast to executors once."""
+
+    lang: str = "eng"
+    mode: int = MODE_AUTO
+
+    # Character-set predicates (tessedit_char_whitelist/blacklist analogs).
+    char_whitelist: str | None = None
+    char_blacklist: str | None = None
+
+    # Whitespace contract (preserve_interword_spaces analog).
+    preserve_interword_spaces: bool = False
+
+    # Boilerplate classifier thresholds (densitometric, Boilerpipe-style).
+    min_content_words: int = 5       # blocks shorter than this need rescue rules
+    max_link_density: float = 0.40   # above this a block is navigation-like
+    keep_headings: bool = True
+
+    # ROI analog of set_rectangle (/root/reference/src/api.rs:1289-1296):
+    # restrict extraction to a source-offset window of the decoded document.
+    roi_start: int | None = None
+    roi_end: int | None = None
+
+    # Free-form string variable map (api.rs:16) for forward-compat knobs.
+    variables: dict[str, str] = field(default_factory=dict)
+
+    def with_variable(self, name: str, value: str) -> "ExtractConfig":
+        """set_variable analog (/root/reference/src/api.rs:132-153): returns
+        a new config with the variable recorded; typed knobs are mirrored."""
+        new_vars = dict(self.variables)
+        new_vars[name] = value
+        kwargs: dict = {"variables": new_vars}
+        if name == "tessedit_char_whitelist":
+            kwargs["char_whitelist"] = value
+        elif name == "tessedit_char_blacklist":
+            kwargs["char_blacklist"] = value
+        elif name == "preserve_interword_spaces":
+            kwargs["preserve_interword_spaces"] = value.strip() == "1"
+        return replace(self, **kwargs)
+
+    def get_variable(self, name: str) -> str:
+        """Typed variable read; unknown name is an error, mirroring
+        get_*_variable (/root/reference/src/api.rs:164-248,
+        tests/test_api.rs:1083)."""
+        if name not in self.variables:
+            raise KeyError(f"unknown variable: {name}")
+        return self.variables[name]

@@ -1,0 +1,460 @@
+"""Main-content extraction kernel for Common-Crawl-style HTML pages.
+
+This is the web-text analog of the reference's page-analysis pipeline
+(threshold -> segment -> recognize -> assemble, observable through
+``analyse_layout`` /root/reference/src/api.rs:1353-1364 and
+``get_utf8_text`` /root/reference/src/api.rs:1303-1328):
+
+1. **decode** — bytes -> str with strict UTF-8 validation; invalid UTF-8 is
+   an error row, never an exception (reference Utf8Error,
+   /root/reference/src/error.rs:13-14).
+2. **segment** — a single-pass tag tokenizer builds a flat list of *blocks*
+   (the reference's RIL_BLOCK level, /root/reference/src/enums.rs:48-54);
+   ``<br>`` produces lines within a block (RIL_TEXTLINE), whitespace splits
+   words (RIL_WORD).
+3. **classify** — densitometric boilerplate classification (link density +
+   word count, Boilerpipe-style) combined with semantic-tag and class/id
+   heuristics decides which blocks are main content; the per-block score
+   doubles as the confidence channel (reference confidences are 0-100,
+   /root/reference/src/result_iterator.rs:65-71).
+4. **assemble** — words joined by ``' '``, lines by ``'\\n'``, blocks by
+   ``'\\n\\n'``, one trailing ``'\\n'`` — the byte-identical invariant
+   surface (get_utf8_text contract, SURVEY.md §2.4).
+
+Everything here is deterministic: pure functions of (bytes, config).  No
+I/O, no randomness, no wall-clock.
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+from dataclasses import dataclass, field
+
+from tesseract_rs_spark.config import (
+    MODE_AUTO,
+    MODE_RAW,
+    MODE_SINGLE_BLOCK,
+    ExtractConfig,
+)
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+# One compiled regex, applied once per document.  Raw-text elements
+# (script/style/...) are consumed whole so their contents never reach the
+# text stream; comments and doctypes likewise.
+_TOKEN_RE = re.compile(
+    r"""
+      <!--.*?(?:-->|$)                                   # comment
+    | <!(?:[^>]*)>                                       # doctype / CDATA-ish
+    | <(?P<raw>script|style|noscript|svg|template)\b[^>]*?(?:/>|>.*?(?:</(?P=raw)\s*>|$))
+    | <(?P<close>/?)(?P<tag>[a-zA-Z][a-zA-Z0-9:-]*)
+        (?P<attrs>(?:"[^"]*"|'[^']*'|[^>"'])*)
+      >
+    """,
+    re.DOTALL | re.IGNORECASE | re.VERBOSE,
+)
+
+_CLASS_ID_RE = re.compile(
+    r"""(?:class|id)\s*=\s*("([^"]*)"|'([^']*)'|([^\s"'>]+))""", re.IGNORECASE
+)
+
+# Block-level elements: opening/closing one flushes the current text block.
+_BLOCK_TAGS = frozenset(
+    """p div h1 h2 h3 h4 h5 h6 li ul ol dl dt dd table thead tbody tr td th
+    article section main header footer nav aside blockquote pre figure
+    figcaption form fieldset address hr caption summary details body html
+    head title option select textarea""".split()
+)
+
+# Ancestor containers whose contents are boilerplate by construction.
+_HARD_BOILERPLATE_TAGS = frozenset(
+    "nav aside footer header form head title option select textarea".split()
+)
+# Void elements that must not be pushed onto the open-tag stack.
+_VOID_TAGS = frozenset(("hr",))
+# Ancestor containers that mark main content.
+_CONTENT_TAGS = frozenset("article main".split())
+_HEADING_TAGS = frozenset("h1 h2 h3 h4 h5 h6".split())
+
+# class/id substring signals (public-heuristic lists, cf. Boilerpipe /
+# Readability-style filters — re-derived, not copied).
+_NEGATIVE_CLASS_RE = re.compile(
+    r"(?:^|[\s_-])(?:nav|menu|sidebar|footer|header|banner|cookie|consent|"
+    r"ad|ads|advert|promo|sponsor|share|social|comment|related|breadcrumb|"
+    r"pagination|masthead|widget|popup|modal|subscribe|newsletter)(?:$|[\s_-])",
+    re.IGNORECASE,
+)
+_POSITIVE_CLASS_RE = re.compile(
+    r"(?:^|[\s_-])(?:content|article|post|entry|main|body|story|text|page|"
+    r"blog|prose)(?:$|[\s_-])",
+    re.IGNORECASE,
+)
+
+_WS_RE = re.compile(r"[ \t\r\n\f\v]+")
+_TAB_NL_RE = re.compile(r"[\t\r\n\f\v]+")
+
+# Confidence levels (0-100 like the reference's word confidences,
+# /root/reference/src/api.rs:555-572).
+CONF_HARD_KEEP = 95.0
+CONF_HEADING = 75.0
+CONF_RESCUE = 55.0
+CONF_DROPPED = 0.0
+
+# Statuses (error-variant analog, /root/reference/src/error.rs:6-41).
+STATUS_OK = "ok"
+STATUS_EMPTY = "empty_input"
+STATUS_UTF8 = "utf8_error"
+STATUS_NOT_HTML = "not_html"
+
+
+@dataclass
+class Block:
+    """One segmented block (RIL_BLOCK analog) before/after classification."""
+
+    tag: str
+    src_start: int
+    src_end: int
+    parts: list = field(default_factory=list)  # str parts; "\x00" marks <br>
+    anchor_chars: int = 0
+    total_chars: int = 0
+    in_hard_boiler: bool = False
+    in_content: bool = False
+    in_negative: bool = False
+    in_positive: bool = False
+    # filled by finalize():
+    lines: list = field(default_factory=list)  # list[list[str]] words per line
+    n_words: int = 0
+    link_density: float = 0.0
+    kept: bool = False
+    score: float = CONF_DROPPED
+
+
+@dataclass
+class DocResult:
+    """Extraction result for one document."""
+
+    status: str
+    text: str
+    blocks: list  # kept Block objects, in reading order
+    n_blocks_total: int
+    n_blocks_kept: int
+    n_words: int
+    mean_conf: int
+    n_chars: int
+    failure_spans: list  # [(start, end)] source-offset spans of dropped/bad regions
+
+
+def _finalize_block(block: Block, preserve_spaces: bool) -> None:
+    raw = "".join(block.parts)
+    lines = []
+    for raw_line in raw.split("\x00"):
+        if preserve_spaces:
+            # preserve_interword_spaces=1: keep space runs, normalize other ws
+            line = _TAB_NL_RE.sub(" ", raw_line).strip(" ")
+        else:
+            line = _WS_RE.sub(" ", raw_line).strip()
+        if line:
+            line = _htmllib.unescape(line)
+            words = line.split(" ") if not preserve_spaces else [line]
+            lines.append(words)
+    block.lines = lines
+    block.n_words = sum(len(ws) for ws in lines)
+    content_chars = sum(len(w) for ws in lines for w in ws)
+    block.link_density = (
+        min(1.0, block.anchor_chars / block.total_chars) if block.total_chars else 0.0
+    )
+    block.total_chars = content_chars
+
+
+def _segment(doc: str, cfg: ExtractConfig) -> list:
+    """Single-pass tokenize + block segmentation.  Returns all non-empty
+    blocks in source order with ancestry flags captured at open time."""
+    blocks: list = []
+    cur = Block(tag="body", src_start=0, src_end=0)
+    # ancestry counters (stack depths)
+    depth = {"hard": 0, "content": 0, "neg": 0, "pos": 0, "a": 0}
+    tag_stack: list = []  # (tag, hard, content, neg, pos)
+    pos = 0
+    raw_mode = cfg.mode == MODE_RAW
+    single = cfg.mode == MODE_SINGLE_BLOCK
+
+    def flush(end: int) -> None:
+        nonlocal cur
+        if cur.parts:
+            cur.src_end = end
+            cur.in_hard_boiler = depth["hard"] > 0
+            cur.in_content = depth["content"] > 0
+            cur.in_negative = depth["neg"] > 0
+            cur.in_positive = depth["pos"] > 0
+            blocks.append(cur)
+        cur = Block(tag=cur.tag, src_start=end, src_end=end)
+
+    for m in _TOKEN_RE.finditer(doc):
+        start = m.start()
+        if start > pos:
+            text = doc[pos:start]
+            if text and not text.isspace():
+                if not cur.parts:
+                    cur.src_start = pos
+                    # snapshot ancestry at first text
+                    cur.in_hard_boiler = depth["hard"] > 0
+                    cur.in_content = depth["content"] > 0
+                    cur.in_negative = depth["neg"] > 0
+                    cur.in_positive = depth["pos"] > 0
+                if "\x00" in text:
+                    text = text.replace("\x00", " ")
+                cur.parts.append(text)
+                n = len(text)
+                cur.total_chars += n
+                if depth["a"] > 0:
+                    cur.anchor_chars += n
+                if raw_mode:
+                    cur.parts.append("\x00")
+            elif text and cur.parts:
+                cur.parts.append(" ")
+        pos = m.end()
+        tag = m.group("tag")
+        if tag is None:
+            continue  # comment / doctype / raw-text element
+        tag = tag.lower()
+        closing = m.group("close") == "/"
+        if tag == "br" and not closing:
+            cur.parts.append("\x00")
+            continue
+        if single or raw_mode:
+            # no layout analysis: only <br>/text matter
+            if tag == "a":
+                depth["a"] += -1 if closing and depth["a"] > 0 else (0 if closing else 1)
+            continue
+        if tag == "a":
+            if closing:
+                if depth["a"] > 0:
+                    depth["a"] -= 1
+            else:
+                depth["a"] += 1
+            continue
+        if tag in _BLOCK_TAGS:
+            flush(start)
+            if tag in _VOID_TAGS:
+                continue
+            attrs = m.group("attrs") or ""
+            if not closing:
+                hard = tag in _HARD_BOILERPLATE_TAGS
+                content = tag in _CONTENT_TAGS
+                neg = pos_ = False
+                if attrs and ("class" in attrs.lower() or "id" in attrs.lower()):
+                    for am in _CLASS_ID_RE.finditer(attrs):
+                        val = am.group(2) or am.group(3) or am.group(4) or ""
+                        if _NEGATIVE_CLASS_RE.search(val):
+                            neg = True
+                        elif _POSITIVE_CLASS_RE.search(val):
+                            pos_ = True
+                tag_stack.append((tag, hard, content, neg, pos_))
+                depth["hard"] += hard
+                depth["content"] += content
+                depth["neg"] += neg
+                depth["pos"] += pos_
+                cur.tag = tag
+            else:
+                # pop to matching open tag (forgiving of misnesting)
+                for i in range(len(tag_stack) - 1, -1, -1):
+                    if tag_stack[i][0] == tag:
+                        for j in range(len(tag_stack) - 1, i - 1, -1):
+                            _, h, c, n_, p_ = tag_stack.pop(j)
+                            depth["hard"] -= h
+                            depth["content"] -= c
+                            depth["neg"] -= n_
+                            depth["pos"] -= p_
+                        break
+                cur.tag = tag_stack[-1][0] if tag_stack else "body"
+    if pos < len(doc):
+        text = doc[pos:]
+        if text and not text.isspace():
+            if not cur.parts:
+                cur.src_start = pos
+            cur.parts.append(text)
+            cur.total_chars += len(text)
+    flush(len(doc))
+    return blocks
+
+
+def _classify(blocks: list, cfg: ExtractConfig) -> None:
+    """Boilerplate classification with one smoothing pass.  Sets
+    ``kept``/``score`` on every block in place."""
+    for b in blocks:
+        if b.n_words == 0:
+            b.kept, b.score = False, CONF_DROPPED
+            continue
+        if b.in_hard_boiler or b.in_negative:
+            b.kept, b.score = False, CONF_DROPPED
+            continue
+        if b.in_content or b.in_positive:
+            b.kept, b.score = True, CONF_HARD_KEEP
+            continue
+        is_heading = b.tag in _HEADING_TAGS
+        if is_heading:
+            # provisional: rescued by the smoothing pass if content follows
+            b.kept, b.score = False, CONF_HEADING
+            continue
+        if b.n_words >= cfg.min_content_words and b.link_density <= cfg.max_link_density:
+            b.kept = True
+            b.score = round(90.0 - 60.0 * b.link_density, 1)
+        else:
+            b.kept, b.score = False, CONF_DROPPED
+
+    # Cluster smoothing (Boilerpipe-style "surrounded" rule, re-derived):
+    # contiguous runs of *clean candidate* blocks — not structurally
+    # boilerplate, link density within bounds, not headings — are judged on
+    # their AGGREGATE word count.  A run of short paragraphs that together
+    # read like prose is content even though each block alone is short.
+    # Structurally-dropped blocks do not break candidate adjacency.
+    cluster: list = []
+
+    def _flush_cluster() -> None:
+        if not cluster:
+            return
+        total_words = sum(blocks[i].n_words for i in cluster)
+        any_kept = any(blocks[i].kept for i in cluster)
+        if any_kept or total_words >= cfg.min_content_words:
+            for i in cluster:
+                if not blocks[i].kept:
+                    blocks[i].kept, blocks[i].score = True, CONF_RESCUE
+        cluster.clear()
+
+    for i, b in enumerate(blocks):
+        if b.n_words == 0:
+            continue  # empty blocks never break adjacency
+        is_candidate = (
+            not (b.in_hard_boiler or b.in_negative)
+            and b.tag not in _HEADING_TAGS
+            and b.link_density <= cfg.max_link_density
+        )
+        if is_candidate:
+            cluster.append(i)
+        else:
+            # a worded boilerplate/nav-like block separates page regions
+            _flush_cluster()
+    _flush_cluster()
+
+    # headings directly before kept content are kept
+    if cfg.keep_headings:
+        for i, b in enumerate(blocks):
+            if b.tag in _HEADING_TAGS and b.score == CONF_HEADING and b.link_density < 0.5:
+                nxt = next(
+                    (
+                        blocks[j]
+                        for j in range(i + 1, len(blocks))
+                        if blocks[j].n_words > 0
+                        and not (blocks[j].in_hard_boiler or blocks[j].in_negative)
+                    ),
+                    None,
+                )
+                if nxt is not None and nxt.kept:
+                    b.kept = True
+
+
+def _apply_charset(blocks: list, cfg: ExtractConfig) -> None:
+    """tessedit_char_whitelist / blacklist analog: restrict emitted chars
+    (decode-mask semantics, tests/integration_test.rs:102-106)."""
+    wl = set(cfg.char_whitelist) if cfg.char_whitelist else None
+    bl = set(cfg.char_blacklist) if cfg.char_blacklist else None
+    if wl is None and bl is None:
+        return
+    for b in blocks:
+        if not b.kept:
+            continue
+        new_lines = []
+        for words in b.lines:
+            new_words = []
+            for w in words:
+                if wl is not None:
+                    w = "".join(ch for ch in w if ch in wl)
+                if bl is not None:
+                    w = "".join(ch for ch in w if ch not in bl)
+                if w:
+                    new_words.append(w)
+            if new_words:
+                new_lines.append(new_words)
+        b.lines = new_lines
+        b.n_words = sum(len(ws) for ws in new_lines)
+        if b.n_words == 0:
+            b.kept = False
+
+
+def assemble(blocks: list) -> str:
+    """The byte-identical assembly contract (SURVEY.md §2.4): words ' ',
+    lines '\\n', blocks '\\n\\n', one trailing '\\n' when non-empty."""
+    parts = []
+    for b in blocks:
+        if b.kept and b.lines:
+            parts.append("\n".join(" ".join(ws) for ws in b.lines))
+    return "\n\n".join(parts) + "\n" if parts else ""
+
+
+def extract_doc(payload, cfg: ExtractConfig) -> DocResult:
+    """Extract one document.  Never raises on bad input — error rows carry
+    ``status != 'ok'`` + failure spans (error model, SURVEY.md §1.4)."""
+    if payload is None or len(payload) == 0:
+        return DocResult(STATUS_EMPTY, "", [], 0, 0, 0, 0, 0, [(0, 0)])
+    if isinstance(payload, (bytes, bytearray, memoryview)):
+        try:
+            doc = (
+                payload.decode("utf-8")
+                if isinstance(payload, bytes)
+                else bytes(payload).decode("utf-8")
+            )
+        except UnicodeDecodeError as e:
+            return DocResult(STATUS_UTF8, "", [], 0, 0, 0, 0, 0, [(e.start, len(payload))])
+    else:
+        doc = payload
+    if cfg.roi_start is not None or cfg.roi_end is not None:
+        doc = doc[cfg.roi_start or 0 : cfg.roi_end if cfg.roi_end is not None else len(doc)]
+    if "<" not in doc:
+        return DocResult(STATUS_NOT_HTML, "", [], 0, 0, 0, 0, 0, [(0, len(doc))])
+
+    blocks = _segment(doc, cfg)
+    for b in blocks:
+        _finalize_block(b, cfg.preserve_interword_spaces)
+    if cfg.mode == MODE_AUTO:
+        _classify(blocks, cfg)
+    else:
+        for b in blocks:
+            b.kept = b.n_words > 0
+            b.score = CONF_HARD_KEEP if b.kept else CONF_DROPPED
+    _apply_charset(blocks, cfg)
+
+    kept = [b for b in blocks if b.kept]
+    text = assemble(blocks)
+    n_words = sum(b.n_words for b in kept)
+    mean_conf = (
+        int(round(sum(b.score * b.n_words for b in kept) / n_words)) if n_words else 0
+    )
+    failure_spans = [
+        (b.src_start, b.src_end) for b in blocks if not b.kept and b.n_words > 0
+    ][:32]
+    return DocResult(
+        STATUS_OK,
+        text,
+        kept,
+        len(blocks),
+        len(kept),
+        n_words,
+        mean_conf,
+        len(text),
+        failure_spans,
+    )
+
+
+def word_rows(result: DocResult):
+    """Flatten a DocResult into word-level rows — the exploded
+    ResultIterator analog (/root/reference/src/result_iterator.rs:41-71):
+    (block_id, para_id, line_id, word_id, word, conf)."""
+    out = []
+    for block_id, b in enumerate(result.blocks):
+        for line_id, words in enumerate(b.lines):
+            for word_id, w in enumerate(words):
+                out.append((block_id, 0, line_id, word_id, w, b.score))
+    return out

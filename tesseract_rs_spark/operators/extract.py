@@ -1,0 +1,127 @@
+"""Distributed extraction operators — fused mapInPandas stages.
+
+The reference runs decode -> threshold -> segment -> recognize -> assemble
+inside one ``recognize`` call (/root/reference/src/api.rs:287-298); we fuse
+decode -> segment -> classify -> assemble inside ONE ``mapInPandas``
+generator so intermediate page structures never cross the Arrow boundary
+or shuffle (SURVEY.md §4.2 "Pipelining").
+
+Error model: a corrupt page yields a ``status != 'ok'`` row with failure
+spans — the job never dies on one bad document
+(/root/reference/src/error.rs:6-41, SURVEY.md §1.4).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from tesseract_rs_spark.config import ExtractConfig
+from tesseract_rs_spark.kernels.html import extract_doc, word_rows
+
+TEXT_RESULT_FIELDS = (
+    "text string, status string, n_blocks long, n_words long, "
+    "mean_conf long, n_chars long"
+)
+FULL_RESULT_FIELDS = (
+    TEXT_RESULT_FIELDS + ", failure_spans array<struct<start: long, end: long>>"
+)
+WORD_RESULT_FIELDS = (
+    "block_id long, para_id long, line_id long, word_id long, "
+    "word string, conf double"
+)
+
+
+def _id_schema(pages: DataFrame, id_cols: Sequence[str]) -> str:
+    by_name = {f.name: f for f in pages.schema.fields}
+    return ", ".join(f"{c} {by_name[c].dataType.simpleString()}" for c in id_cols)
+
+
+def extract_text_batch(
+    pdf: pd.DataFrame, cfg: ExtractConfig, id_cols: Sequence[str], spans: bool = False
+) -> pd.DataFrame:
+    """Extract one Arrow batch -> one result row per page."""
+    results = [extract_doc(h, cfg) for h in pdf["html"].to_numpy()]
+    out = {c: pdf[c].to_numpy() for c in id_cols}
+    out["text"] = [r.text for r in results]
+    out["status"] = [r.status for r in results]
+    out["n_blocks"] = pd.array([r.n_blocks_kept for r in results], dtype="int64")
+    out["n_words"] = pd.array([r.n_words for r in results], dtype="int64")
+    out["mean_conf"] = pd.array([r.mean_conf for r in results], dtype="int64")
+    out["n_chars"] = pd.array([r.n_chars for r in results], dtype="int64")
+    if spans:
+        out["failure_spans"] = [
+            [{"start": s, "end": e} for (s, e) in r.failure_spans]
+            for r in results
+        ]
+    return pd.DataFrame(out)
+
+
+def extract_words_batch(
+    pdf: pd.DataFrame, cfg: ExtractConfig, id_cols: Sequence[str]
+) -> pd.DataFrame:
+    """Extract one batch -> exploded word-level rows (ResultIterator analog,
+    /root/reference/src/result_iterator.rs:41-71)."""
+    ids: dict = {c: [] for c in id_cols}
+    cols: dict = {k: [] for k in ("block_id", "para_id", "line_id", "word_id", "word", "conf")}
+    for row in pdf.itertuples(index=False):
+        r = extract_doc(row.html, cfg)
+        rows = word_rows(r)
+        for c in id_cols:
+            ids[c].extend([getattr(row, c)] * len(rows))
+        for b, p, l, w, word, conf in rows:
+            cols["block_id"].append(b)
+            cols["para_id"].append(p)
+            cols["line_id"].append(l)
+            cols["word_id"].append(w)
+            cols["word"].append(word)
+            cols["conf"].append(conf)
+    out = {**ids, **cols}
+    for k in ("block_id", "para_id", "line_id", "word_id"):
+        out[k] = pd.array(out[k], dtype="int64")
+    out["conf"] = pd.array(out["conf"], dtype="float64")
+    return pd.DataFrame(out)
+
+
+def extract_text(
+    pages: DataFrame,
+    cfg: ExtractConfig | None = None,
+    id_cols: Sequence[str] = ("url",),
+    spans: bool = False,
+) -> DataFrame:
+    """pages -> (id_cols..., text, status, n_blocks, n_words, mean_conf,
+    n_chars[, failure_spans]) in ONE fused vectorized stage."""
+    cfg = cfg or ExtractConfig()
+    schema = _id_schema(pages, id_cols) + ", " + (
+        FULL_RESULT_FIELDS if spans else TEXT_RESULT_FIELDS
+    )
+    id_cols = tuple(id_cols)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield extract_text_batch(pdf, cfg, id_cols, spans=spans)
+
+    return pages.select(*id_cols, "html").mapInPandas(gen, schema=schema)
+
+
+def extract_words(
+    pages: DataFrame,
+    cfg: ExtractConfig | None = None,
+    id_cols: Sequence[str] = ("url",),
+) -> DataFrame:
+    """pages -> exploded word table (id_cols..., block_id, para_id, line_id,
+    word_id, word, conf) in one vectorized stage.  Reading order is encoded
+    in the id columns, not in row order (SURVEY.md §3.2)."""
+    cfg = cfg or ExtractConfig()
+    schema = _id_schema(pages, id_cols) + ", " + WORD_RESULT_FIELDS
+    id_cols = tuple(id_cols)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield extract_words_batch(pdf, cfg, id_cols)
+
+    return pages.select(*id_cols, "html").mapInPandas(gen, schema=schema)

@@ -1,0 +1,175 @@
+"""Checkpoint / resume with per-partition lineage + metrics (north rule).
+
+Batch-wise commit protocol (SURVEY.md §4.2 "Checkpoint/resume"): the input
+is bucketed by ``pmod(xxhash64(url), n_buckets)``; buckets are processed in
+groups; each completed group atomically lands
+
+- its result rows under ``out_dir/data/bucket=<b>/`` (parquet), and
+- one lineage row per bucket under ``out_dir/_lineage/`` recording counts,
+  chars emitted, a confidence histogram, and failure-span totals — the
+  per-partition extraction metrics the north star names.
+
+Resume = anti-join pending buckets against recorded lineage: a restarted
+job recomputes nothing that committed.  On a real cluster the same
+protocol maps onto Iceberg partition-level appends; parquet directories
+stand in here (FIXTURES.md §1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from tesseract_rs_spark.config import ExtractConfig
+from tesseract_rs_spark.operators.extract import extract_text
+
+LINEAGE_DIR = "_lineage"
+DATA_DIR = "data"
+
+# confidence histogram bucket edges (0-100 in tens, like the reference's
+# 0-100 confidence domain, /root/reference/src/api.rs:555-572)
+_CONF_BUCKETS = 10
+
+
+def _lineage_path(out_dir: str, bucket: int) -> str:
+    return os.path.join(out_dir, LINEAGE_DIR, f"bucket-{bucket:05d}.json")
+
+
+def completed_buckets(out_dir: str) -> set:
+    d = os.path.join(out_dir, LINEAGE_DIR)
+    if not os.path.isdir(d):
+        return set()
+    out = set()
+    for name in os.listdir(d):
+        if name.startswith("bucket-") and name.endswith(".json"):
+            out.add(int(name[len("bucket-") : -len(".json")]))
+    return out
+
+
+def read_lineage(out_dir: str) -> list:
+    d = os.path.join(out_dir, LINEAGE_DIR)
+    rows = []
+    if os.path.isdir(d):
+        for name in sorted(os.listdir(d)):
+            if name.endswith(".json"):
+                with open(os.path.join(d, name)) as f:
+                    rows.append(json.load(f))
+    return rows
+
+
+def run_checkpointed(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    cfg: ExtractConfig | None = None,
+    n_buckets: int = 32,
+    group_size: int = 8,
+    id_cols: Sequence[str] = ("url",),
+    fail_buckets: set | None = None,
+) -> DataFrame:
+    """Process ``pages`` with per-bucket checkpointing; returns the full
+    result DataFrame read back from ``out_dir/data``.
+
+    ``fail_buckets`` injects a simulated crash after the group containing
+    those buckets commits everything before them — used by the resume test
+    (kill mid-run -> restart -> identical output, BASELINE.md).
+    """
+    cfg = cfg or ExtractConfig()
+    os.makedirs(os.path.join(out_dir, LINEAGE_DIR), exist_ok=True)
+    bucketed = pages.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    )
+    done = completed_buckets(out_dir)
+    pending = [b for b in range(n_buckets) if b not in done]
+    # A crash between the data append and the lineage commit leaves orphan
+    # data for pending buckets; scrub it so resume is exactly-once.
+    import shutil
+
+    for b in pending:
+        orphan = os.path.join(out_dir, DATA_DIR, f"bucket={b}")
+        if os.path.isdir(orphan):
+            shutil.rmtree(orphan)
+    groups = [pending[i : i + group_size] for i in range(0, len(pending), group_size)]
+    for group in groups:
+        if fail_buckets and set(group) & set(fail_buckets):
+            raise RuntimeError(f"injected failure before committing buckets {group}")
+        t0 = time.time()
+        part = bucketed.filter(F.col("bucket").isin(group))
+        result = extract_text(part, cfg, id_cols=tuple(id_cols) + ("bucket",))
+        (
+            result.repartition(len(group), "bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(os.path.join(out_dir, DATA_DIR))
+        )
+        # per-bucket metrics from what we just wrote (no recompute)
+        written = spark.read.parquet(os.path.join(out_dir, DATA_DIR)).filter(
+            F.col("bucket").isin(group)
+        )
+        stats = (
+            written.groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("n_ok"),
+                F.sum("n_chars").alias("chars_emitted"),
+                F.sum("n_words").alias("words_emitted"),
+                F.collect_list(
+                    F.least(F.floor(F.col("mean_conf") / 10), F.lit(_CONF_BUCKETS - 1))
+                ).alias("conf_bucket_ids"),
+            )
+            .collect()
+        )
+        wall = time.time() - t0
+        for row in stats:
+            hist = [0] * _CONF_BUCKETS
+            for i in row["conf_bucket_ids"]:
+                hist[int(i)] += 1
+            _commit_lineage(out_dir, row, hist, wall, len(group))
+        # buckets with zero rows still need lineage so resume skips them
+        seen = {row["bucket"] for row in stats}
+        for b in group:
+            if b not in seen:
+                _commit_lineage_empty(out_dir, b, wall, len(group))
+    return spark.read.parquet(os.path.join(out_dir, DATA_DIR))
+
+
+def _commit_lineage(out_dir: str, row, hist: list, wall: float, group_len: int) -> None:
+    rec = {
+        "bucket": int(row["bucket"]),
+        "n_rows": int(row["n_rows"]),
+        "n_ok": int(row["n_ok"]),
+        "chars_emitted": int(row["chars_emitted"]),
+        "words_emitted": int(row["words_emitted"]),
+        "conf_histogram": hist,
+        "wall_s_group": round(wall, 3),
+        "group_size": group_len,
+        "ts": time.time(),
+    }
+    _atomic_write_json(_lineage_path(out_dir, rec["bucket"]), rec)
+
+
+def _commit_lineage_empty(out_dir: str, bucket: int, wall: float, group_len: int) -> None:
+    rec = {
+        "bucket": int(bucket),
+        "n_rows": 0,
+        "n_ok": 0,
+        "chars_emitted": 0,
+        "words_emitted": 0,
+        "conf_histogram": [0] * _CONF_BUCKETS,
+        "wall_s_group": round(wall, 3),
+        "group_size": group_len,
+        "ts": time.time(),
+    }
+    _atomic_write_json(_lineage_path(out_dir, bucket), rec)
+
+
+def _atomic_write_json(path: str, rec: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+    os.replace(tmp, path)

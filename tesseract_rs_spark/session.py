@@ -1,0 +1,47 @@
+"""SparkSession builder with the engine's tuned defaults.
+
+The FFI-mutex boundary of the reference (every call locks one C handle,
+/root/reference/src/api.rs:87-90) becomes the JVM<->Python Arrow boundary
+here, amortized over whole columnar batches (SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "tesseract-rs-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build a session tuned for binary-heavy page batches.
+
+    - Arrow enabled and capped at a modest records-per-batch because rows
+      carry multi-KB..MB `html` payloads (SURVEY.md §4.2);
+    - AQE on for post-shuffle coalescing and skew-join splitting;
+    - shuffle partitions sized to the core count (2x) by default, not the
+      200 default that would fragment small-SF test runs.
+    """
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(32, 2 * cores)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

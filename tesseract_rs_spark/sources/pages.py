@@ -1,0 +1,82 @@
+"""Page-table sources.
+
+The canonical input is an Iceberg-style table
+``pages(url string, warc_ts timestamp, html binary, text string,
+lang string)`` (BASELINE.json input_hint).  At test scale plain parquet
+stands in for Iceberg (FIXTURES.md §1); the reader only assumes
+``spark.read`` semantics, so swapping ``format("iceberg")`` in is a
+one-line change on a real cluster.
+
+``pages_from_documents`` derives a deterministic pages table from the
+driver-provided ``documents`` parquet (TESTDATA.md) by rendering each
+document's text into a boilerplate-wrapped HTML page — the corpus
+generator run *distributed*, as a vectorized stage.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from tesseract_rs_spark.corpus import (
+    DEFAULT_PARA_WORDS,
+    page_ts,
+    page_url,
+    render_html,
+)
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+PAGES_FROM_DOCS_SCHEMA = "doc_id long, " + PAGES_SCHEMA
+
+
+def read_pages(spark: SparkSession, path: str) -> DataFrame:
+    """Scan the pages table.  Column pruning and predicate pushdown are
+    Catalyst's job — callers select/filter declaratively."""
+    return spark.read.parquet(path)
+
+
+def render_batch(
+    pdf: pd.DataFrame,
+    para_words: int = DEFAULT_PARA_WORDS,
+    variant: int | None = None,
+) -> pd.DataFrame:
+    """Vectorized page render for one Arrow batch of documents rows."""
+    doc_ids = pdf["doc_id"].to_numpy()
+    texts = pdf["text"].to_numpy()
+    langs = pdf["lang"].to_numpy()
+    html = [
+        render_html(t, int(d), l, para_words=para_words, variant=variant).encode("utf-8")
+        for d, t, l in zip(doc_ids, texts, langs)
+    ]
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"].astype("int64"),
+            "url": [page_url(int(d), l) for d, l in zip(doc_ids, langs)],
+            "warc_ts": [page_ts(int(d)) for d in doc_ids],
+            "html": html,
+            "text": texts,
+            "lang": langs,
+        }
+    )
+
+
+def pages_from_documents(
+    docs: DataFrame,
+    para_words: int = DEFAULT_PARA_WORDS,
+    variant: int | None = None,
+) -> DataFrame:
+    """documents(doc_id, text, lang, ...) -> pages, as one mapInPandas
+    stage (no shuffle; chains into downstream extraction in-stage)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield render_batch(pdf, para_words=para_words, variant=variant)
+
+    return docs.select("doc_id", "text", "lang").mapInPandas(
+        gen, schema=PAGES_FROM_DOCS_SCHEMA
+    )

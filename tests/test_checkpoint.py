@@ -1,0 +1,74 @@
+"""Checkpoint/resume: kill mid-run -> restart -> identical output with no
+recomputation of completed buckets (north rule; BASELINE.md resume gate)."""
+
+import os
+
+import pytest
+
+from tesseract_rs_spark.config import ExtractConfig
+from tesseract_rs_spark.corpus import make_corpus
+from tesseract_rs_spark.operators.extract import extract_text
+from tesseract_rs_spark.plans.checkpoint import (
+    completed_buckets,
+    read_lineage,
+    run_checkpointed,
+)
+
+N_BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("ckpt")
+    pages, _ = make_corpus("smoke")
+    p = str(d / "pages.parquet")
+    spark.createDataFrame(pages).write.parquet(p)
+    return p
+
+
+def _as_sorted_pandas(df):
+    return (
+        df.select("url", "text", "status")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
+def test_resume_after_injected_failure(spark, pages_path, tmp_path):
+    pages = spark.read.parquet(pages_path)
+    out = str(tmp_path / "out")
+    # crash before the group containing bucket 5 commits
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_checkpointed(
+            spark, pages, out, ExtractConfig(),
+            n_buckets=N_BUCKETS, group_size=2, fail_buckets={5},
+        )
+    done_before = completed_buckets(out)
+    assert 0 < len(done_before) < N_BUCKETS
+    lineage_before = {r["bucket"]: r["ts"] for r in read_lineage(out)}
+
+    # restart: completes without recomputing finished buckets
+    result = run_checkpointed(
+        spark, pages, out, ExtractConfig(), n_buckets=N_BUCKETS, group_size=2
+    )
+    lineage_after = {r["bucket"]: r["ts"] for r in read_lineage(out)}
+    for b in done_before:
+        assert lineage_after[b] == lineage_before[b], "completed bucket was recomputed"
+    assert set(lineage_after) == set(range(N_BUCKETS))
+
+    # output identical to a single-pass run
+    single = extract_text(pages, ExtractConfig())
+    assert _as_sorted_pandas(result).equals(_as_sorted_pandas(single))
+
+
+def test_lineage_metrics(spark, pages_path, tmp_path):
+    pages = spark.read.parquet(pages_path)
+    out = str(tmp_path / "out2")
+    run_checkpointed(spark, pages, out, ExtractConfig(), n_buckets=4, group_size=4)
+    rows = read_lineage(out)
+    assert len(rows) == 4
+    assert sum(r["n_rows"] for r in rows) == 64
+    assert all(len(r["conf_histogram"]) == 10 for r in rows)
+    assert sum(r["chars_emitted"] for r in rows) > 0
+    assert os.path.isdir(os.path.join(out, "data"))

@@ -1,0 +1,124 @@
+"""Golden end-to-end through Spark — the reference's integration-test
+altitude (/root/reference/tests/integration_test.rs, SURVEY.md §5.4).
+
+The acceptance gate: per-url sha256(text) equality vs the golden table
+(BASELINE.json input_hint)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from tesseract_rs_spark.config import ExtractConfig
+from tesseract_rs_spark.corpus import make_corpus
+from tesseract_rs_spark.operators.assemble import (
+    all_word_confidences,
+    mean_text_conf,
+    reassemble_text,
+)
+from tesseract_rs_spark.operators.extract import extract_text, extract_words
+from tesseract_rs_spark.plans.partitioning import salted_repartition, split_oversized
+
+
+@pytest.fixture(scope="module")
+def corpus_dirs(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    pages, golden = make_corpus("smoke")
+    spark.createDataFrame(pages).write.parquet(str(d / "pages.parquet"))
+    spark.createDataFrame(golden).write.parquet(str(d / "golden.parquet"))
+    return str(d / "pages.parquet"), str(d / "golden.parquet")
+
+
+def test_byte_identical_match_rate_100(spark, corpus_dirs):
+    pages_path, golden_path = corpus_dirs
+    pages = spark.read.parquet(pages_path)
+    golden = spark.read.parquet(golden_path)
+    result = extract_text(pages, ExtractConfig())
+    joined = result.join(golden.select("url", "sha256", "expected_status"), "url")
+    checked = joined.withColumn(
+        "got_sha", F.sha2(F.col("text").cast("binary"), 256)
+    ).withColumn(
+        "match",
+        (F.col("got_sha") == F.col("sha256"))
+        & (F.col("status") == F.col("expected_status")),
+    )
+    total = checked.count()
+    matched = checked.filter("match").count()
+    assert total == 64
+    assert matched == total, checked.filter(~F.col("match")).select(
+        "url", "status", "expected_status"
+    ).collect()
+
+
+def test_error_rows_not_failures(spark, corpus_dirs):
+    pages_path, golden_path = corpus_dirs
+    result = extract_text(
+        spark.read.parquet(pages_path), ExtractConfig(), spans=True
+    )
+    statuses = {r["status"] for r in result.select("status").distinct().collect()}
+    assert {"ok", "utf8_error", "empty_input", "not_html"} <= statuses
+    bad = result.filter(F.col("status") != "ok")
+    assert bad.filter(F.size("failure_spans") >= 1).count() == bad.count()
+
+
+def test_exploded_words_reassemble(spark, corpus_dirs):
+    """Reassembling the exploded word table reproduces extract_text —
+    the ResultIterator/get_utf8_text consistency contract."""
+    pages_path, golden_path = corpus_dirs
+    pages = spark.read.parquet(pages_path)
+    words = extract_words(pages, ExtractConfig())
+    docs = reassemble_text(words)
+    golden = spark.read.parquet(golden_path).filter(
+        (F.col("expected_status") == "ok") & (F.col("text") != "")
+    )
+    joined = golden.alias("g").join(docs.alias("d"), "url")
+    n = joined.count()
+    assert n == golden.count()
+    assert joined.filter(F.col("g.text") == F.col("d.text")).count() == n
+
+
+def test_confidence_rollups(spark, corpus_dirs):
+    """mean_text_conf / all_word_confidences consistency with extract_text
+    (/root/reference/src/api.rs:114-120, 555-572)."""
+    pages_path, _ = corpus_dirs
+    pages = spark.read.parquet(pages_path)
+    words = extract_words(pages, ExtractConfig())
+    mtc = mean_text_conf(words).withColumnRenamed("mean_conf", "mean_conf_rollup")
+    full = extract_text(pages, ExtractConfig()).filter("n_words > 0")
+    joined = full.join(mtc, "url")
+    assert joined.count() == full.count()
+    # kernel mean_conf is word-weighted int round; rollup must agree
+    mism = joined.filter(
+        F.abs(F.col("mean_conf") - F.col("mean_conf_rollup")) > 1
+    ).count()
+    assert mism == 0
+    confs = all_word_confidences(words)
+    row = confs.limit(1).collect()[0]
+    assert all(0.0 <= c <= 100.0 for c in row["confs"])
+
+
+def test_determinism_two_runs(spark, corpus_dirs):
+    pages_path, _ = corpus_dirs
+    pages = spark.read.parquet(pages_path)
+    a = extract_text(pages).select("url", "text").toPandas().sort_values("url")
+    b = extract_text(pages).select("url", "text").toPandas().sort_values("url")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_salted_repartition_uniform(spark, corpus_dirs):
+    pages_path, _ = corpus_dirs
+    pages = spark.read.parquet(pages_path)
+    parts = salted_repartition(pages, 8)
+    sizes = parts.rdd.glom().map(len).collect()
+    assert len(sizes) == 8 and max(sizes) <= 2 * (64 / 8 + 1)
+
+
+def test_split_oversized(spark, corpus_dirs):
+    pages_path, _ = corpus_dirs
+    pages = spark.read.parquet(pages_path)
+    normal, oversized, threshold = split_oversized(
+        pages, threshold_quantile=0.9, min_threshold=10_000
+    )
+    assert normal.count() + oversized.count() == 64
+    assert threshold >= 10_000
+    # extraction over the union matches straight extraction
+    merged = extract_text(normal.unionByName(oversized)).count()
+    assert merged == 64
