@@ -18,8 +18,26 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from tesseract_rs_spark.config import ExtractConfig
+from tesseract_rs_spark.functions.dedup import (
+    dedup_summary,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from tesseract_rs_spark.functions.similarity import ann_lsh_topk, cosine_topk
+from tesseract_rs_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    shingle_fingerprint,
+    text_stats,
+)
 from tesseract_rs_spark.operators.extract import extract_text, extract_words
+from tesseract_rs_spark.operators.renderers import render_tsv, render_unlv
 from tesseract_rs_spark.sources.pages import pages_from_documents
+
+# charset used by the whitelist query (tessedit_char_whitelist analog)
+WHITELIST = "abcdefghijklm "
 
 PARA_WORDS = 25
 _SINGLE_PARA = 1_000_000_000  # one paragraph holding the whole document
@@ -84,6 +102,90 @@ def _q_extract_mean_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_text(pages, id_cols=("doc_id",)).select("doc_id", "mean_conf")
 
 
+def _q_extract_text_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tessedit_char_whitelist analog (/root/reference/src/api.rs:132-153,
+    # tests/integration_test.rs:129-130): only whitelisted chars survive;
+    # words filtered to empty are dropped from the assembly.
+    cfg = ExtractConfig().with_variable("tessedit_char_whitelist", WHITELIST)
+    pages = pages_from_documents(_docs(spark, sf_dir), para_words=PARA_WORDS)
+    return (
+        extract_text(pages, cfg, id_cols=("doc_id",))
+        .filter(F.col("text") != "")
+        .select("doc_id", "text")
+    )
+
+
+def _q_render_unlv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = pages_from_documents(_docs(spark, sf_dir), para_words=PARA_WORDS)
+    words = extract_words(pages, id_cols=("doc_id",))
+    return render_unlv(words, key="doc_id")
+
+
+def _q_render_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # span offsets are render-template arithmetic — not reasonably
+    # SQL-expressible, so this query takes the rows-only check
+    pages = pages_from_documents(_docs(spark, sf_dir), para_words=PARA_WORDS)
+    words = extract_words(pages, id_cols=("doc_id",))
+    return render_tsv(words, key="doc_id")
+
+
+# --- training-data pipeline ops over the raw documents/embeddings tables ---
+
+
+def _q_text_stats(spark, sf_dir):
+    return text_stats(_docs(spark, sf_dir))
+
+
+def _q_quality_score(spark, sf_dir):
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _q_shingle_fingerprint(spark, sf_dir):
+    return shingle_fingerprint(_docs(spark, sf_dir))
+
+
+def _q_dedup_summary(spark, sf_dir):
+    return dedup_summary(_docs(spark, sf_dir))
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    # probabilistic candidate generation -> exact verification; candidates
+    # are seed-deterministic but not SQL-expressible -> rows-only check
+    return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+def _q_simhash(spark, sf_dir):
+    return simhash(_docs(spark, sf_dir))
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "vec_id", F.col("vec_id").cast("long")
+    )
+
+
+def _q_ann_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text": _q_extract_text,
@@ -92,6 +194,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_metrics": _q_extract_metrics,
         "extract_status_counts": _q_extract_status_counts,
         "extract_mean_conf": _q_extract_mean_conf,
+        "extract_text_whitelist": _q_extract_text_whitelist,
+        "render_unlv": _q_render_unlv,
+        "render_tsv": _q_render_tsv,
+        "text_stats": _q_text_stats,
+        "quality_score": _q_quality_score,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "shingle_fingerprint": _q_shingle_fingerprint,
+        "dedup_summary": _q_dedup_summary,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "simhash": _q_simhash,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
     }
 
 
@@ -152,4 +268,136 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(95 AS BIGINT) AS mean_conf
         FROM documents
         """,
+        "extract_text_whitelist": _WORDS_CTE
+        + f"""
+        , filtered AS (
+          SELECT doc_id, wid, regexp_replace(w, '[^a-m]', '', 'g') AS w2
+          FROM words
+        ),
+        paras AS (
+          SELECT doc_id, CAST((wid - 1) // {PARA_WORDS} AS BIGINT) AS pid,
+                 string_agg(w2, ' ' ORDER BY wid) AS para
+          FROM filtered WHERE w2 <> '' GROUP BY doc_id, pid
+        )
+        SELECT doc_id,
+               string_agg(para, {para_sep} ORDER BY pid) || {nl} AS text
+        FROM paras GROUP BY doc_id
+        """,
+        "render_unlv": _WORDS_CTE
+        + f"""
+        , paras AS (
+          SELECT doc_id, CAST((wid - 1) // {PARA_WORDS} AS BIGINT) AS pid,
+                 string_agg(w, ' ' ORDER BY wid) AS para
+          FROM words GROUP BY doc_id, pid
+        )
+        SELECT doc_id, string_agg(para, {nl} ORDER BY pid) AS unlv
+        FROM paras GROUP BY doc_id
+        """,
+        # render_tsv: rows-only check (span offsets are render arithmetic)
+        "text_stats": f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
+               CAST(len(list_filter(string_split(text,' '),
+                    x -> x IN ('the','a','is','of','and'))) AS BIGINT) AS sw_hits
+        FROM documents
+        """,
+        "quality_score": f"""
+        WITH s AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST(len(string_split(text,' ')) AS DOUBLE) AS nt,
+                 len(list_distinct(string_split(text,' '))) AS nd,
+                 len(list_filter(string_split(text,' '),
+                     x -> x IN ('the','a','is','of','and'))) AS sw
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(FLOOR(50.0 * LEAST(1.0, nt / 100.0)
+                          + 30.0 * (nd / nt)
+                          + 20.0 * LEAST(1.0, 10.0 * sw / nt)) AS BIGINT) AS quality
+        FROM s
+        """,
+        "lang_id": """
+        WITH s AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 len(list_filter(string_split(text,' '), x -> x IN ('the','a','is','of','and'))) AS en,
+                 len(list_filter(string_split(text,' '), x -> x IN ('der','die','und','ist','das'))) AS de,
+                 len(list_filter(string_split(text,' '), x -> x IN ('le','la','et','est','les'))) AS fr,
+                 len(list_filter(string_split(text,' '), x -> x IN ('el','los','y','es','las'))) AS es
+          FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                    WHEN de >= fr AND de >= es THEN 'de'
+                    WHEN fr >= es THEN 'fr'
+                    ELSE 'es' END AS lang_pred
+        FROM s
+        """,
+        "fingerprint": """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, sha256(text) AS fingerprint
+        FROM documents
+        """,
+        "shingle_fingerprint": _WORDS_CTE
+        + """
+        , sh AS (
+          SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+          FROM words a
+          JOIN words b ON a.doc_id = b.doc_id AND b.wid = a.wid + 1
+          JOIN words c ON a.doc_id = c.doc_id AND c.wid = a.wid + 2
+        )
+        SELECT doc_id, min(md5(s)) AS shingle_fp FROM sh GROUP BY doc_id
+        """,
+        "dedup_summary": """
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_unique,
+               CAST(count(*) - count(DISTINCT sha256(text)) AS BIGINT) AS n_dupes
+        FROM documents
+        """,
+        "dedup_ngram_jaccard": _WORDS_CTE
+        + """
+        , sh AS (
+          SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+          FROM words a
+          JOIN words b ON a.doc_id = b.doc_id AND b.wid = a.wid + 1
+          JOIN words c ON a.doc_id = c.doc_id AND c.wid = a.wid + 2
+        ),
+        pair AS (
+          SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
+        ),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1)
+        SELECT id_a, id_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+               inter / (sa.n_sh + sb.n_sh - inter) AS jaccard
+        FROM pair
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.8
+        """,
+        "ann_cosine_topk": """
+        WITH q AS (
+          SELECT CAST(vec_id AS BIGINT) AS query_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id < 10
+        ),
+        c AS (
+          SELECT CAST(vec_id AS BIGINT) AS neighbor_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+          FROM embeddings
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id
+                 ) AS rank
+          FROM q, c WHERE neighbor_id <> query_id
+        )
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+        FROM ranked WHERE rank <= 5
+        """,
+        # dedup_minhash_lsh / simhash / ann_lsh_topk: seed-deterministic but
+        # not SQL-expressible -> rows-only check; their quality is asserted
+        # against exact baselines in tests/test_functions.py
     }

@@ -1,0 +1,118 @@
+"""Text-analysis functions for training-data pipelines.
+
+All pure JVM-side column expressions (``pyspark.sql.functions`` only — no
+Python in the hot path): token counting, quality scoring, stopword-list
+language ID, and document fingerprinting.  Each op is deterministic and has
+an exact ANSI-SQL twin (the driver's DuckDB oracle), so correctness is
+checked end-to-end, not eyeballed.
+
+The is_valid_word/dictionary analog of the reference
+(/root/reference/src/api.rs:1003-1010) appears here as the stopword /
+wordlist membership primitives.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# deterministic stopword lists for the language-ID heuristic
+STOPWORDS = {
+    "en": ["the", "a", "is", "of", "and"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "los", "y", "es", "las"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]  # argmax tie-break priority
+
+
+def tokens(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def token_count(col: str = "text") -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def stopword_hits(col: str = "text", lang: str = "en") -> Column:
+    """Count of stopword OCCURRENCES (not distinct matches)."""
+    sw = STOPWORDS[lang]
+    return F.size(
+        F.filter(tokens(col), lambda x: x.isin(*sw))
+    ).cast("long")
+
+
+def text_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, n_chars, n_distinct, stopword_hits) — quality-scoring
+    raw features, all codegen-able expressions."""
+    return docs.select(
+        F.col(id_col),
+        token_count().alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.array_distinct(tokens())).cast("long").alias("n_distinct"),
+        stopword_hits().alias("sw_hits"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 0-100 quality score: length saturation + lexical
+    diversity + stopword presence (heuristics in the spirit of public
+    web-corpus quality filters; exact formula pinned for the oracle):
+
+    score = floor(50*min(1, n_tokens/100) + 30*(n_distinct/n_tokens)
+                  + 20*min(1, 10*sw_hits/n_tokens))
+    """
+    s = text_stats(docs, id_col)
+    nt = F.col("n_tokens").cast("double")
+    score = F.floor(
+        50.0 * F.least(F.lit(1.0), nt / 100.0)
+        + 30.0 * (F.col("n_distinct") / nt)
+        + 20.0 * F.least(F.lit(1.0), 10.0 * F.col("sw_hits") / nt)
+    ).cast("long")
+    return s.select(id_col, score.alias("quality"))
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Stopword-list language ID with a fixed argmax tie-break order —
+    a deterministic heuristic twin-able in SQL."""
+    scores = {lang: stopword_hits("text", lang) for lang in LANG_ORDER}
+    en, de, fr, es = (scores[lang] for lang in LANG_ORDER)
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en >= es), "en")
+        .when((de >= fr) & (de >= es), "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+    )
+    return docs.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """sha256 content fingerprint (the per-url checksum primitive of the
+    acceptance gate, BASELINE.json input_hint)."""
+    return docs.select(
+        F.col(id_col),
+        F.sha2(F.col("text").cast("binary"), 256).alias("fingerprint"),
+    )
+
+
+def word_shingles(col: str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column (JVM-side
+    ``transform``/``slice`` — no UDF)."""
+    t = tokens(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+        )
+    )
+
+
+def shingle_fingerprint(docs: DataFrame, id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Rolling-hash document fingerprint: the minimum md5 over word
+    n-gram shingles (one-permutation minhash; winnowing-style selection)."""
+    return docs.select(
+        F.col(id_col),
+        F.array_min(
+            F.transform(word_shingles("text", n), lambda s: F.md5(s.cast("binary")))
+        ).alias("shingle_fp"),
+    )

@@ -451,10 +451,17 @@ def extract_doc(payload, cfg: ExtractConfig) -> DocResult:
 def word_rows(result: DocResult):
     """Flatten a DocResult into word-level rows — the exploded
     ResultIterator analog (/root/reference/src/result_iterator.rs:41-71):
-    (block_id, para_id, line_id, word_id, word, conf)."""
+    (block_id, para_id, line_id, word_id, word, conf, span_start, span_end).
+
+    span_start/span_end are the enclosing block's source-character offsets
+    into the decoded document (the bounding-box analog for web text:
+    reference bboxes are pixel rects, /root/reference/src/page_iterator.rs:110-134;
+    our "page space" is the source character axis)."""
     out = []
     for block_id, b in enumerate(result.blocks):
         for line_id, words in enumerate(b.lines):
             for word_id, w in enumerate(words):
-                out.append((block_id, 0, line_id, word_id, w, b.score))
+                out.append(
+                    (block_id, 0, line_id, word_id, w, b.score, b.src_start, b.src_end)
+                )
     return out

@@ -30,7 +30,7 @@ FULL_RESULT_FIELDS = (
 )
 WORD_RESULT_FIELDS = (
     "block_id long, para_id long, line_id long, word_id long, "
-    "word string, conf double"
+    "word string, conf double, span_start long, span_end long"
 )
 
 
@@ -64,22 +64,20 @@ def extract_words_batch(
 ) -> pd.DataFrame:
     """Extract one batch -> exploded word-level rows (ResultIterator analog,
     /root/reference/src/result_iterator.rs:41-71)."""
+    keys = ("block_id", "para_id", "line_id", "word_id", "word", "conf",
+            "span_start", "span_end")
     ids: dict = {c: [] for c in id_cols}
-    cols: dict = {k: [] for k in ("block_id", "para_id", "line_id", "word_id", "word", "conf")}
+    cols: dict = {k: [] for k in keys}
     for row in pdf.itertuples(index=False):
         r = extract_doc(row.html, cfg)
         rows = word_rows(r)
         for c in id_cols:
             ids[c].extend([getattr(row, c)] * len(rows))
-        for b, p, l, w, word, conf in rows:
-            cols["block_id"].append(b)
-            cols["para_id"].append(p)
-            cols["line_id"].append(l)
-            cols["word_id"].append(w)
-            cols["word"].append(word)
-            cols["conf"].append(conf)
+        for vals in rows:
+            for k, v in zip(keys, vals):
+                cols[k].append(v)
     out = {**ids, **cols}
-    for k in ("block_id", "para_id", "line_id", "word_id"):
+    for k in ("block_id", "para_id", "line_id", "word_id", "span_start", "span_end"):
         out[k] = pd.array(out[k], dtype="int64")
     out["conf"] = pd.array(out["conf"], dtype="float64")
     return pd.DataFrame(out)

@@ -1,0 +1,134 @@
+"""Output renderers — the result-renderer family re-expressed as derived
+string columns (/root/reference/src/result_renderer.rs:25-82 and the
+get_*_text accessors, /root/reference/src/api.rs:309-548).
+
+Every renderer is a deterministic string template over the exploded word
+table, built ONLY from JVM-side functions (``format_string`` /
+``concat_ws`` / ordered ``array_sort`` aggregation) so rendering stays
+inside WholeStageCodegen — no Python in the render path (SURVEY.md §2.6).
+
+Pixel bounding boxes don't exist for web text; the span axis (source
+character offsets) plays the bbox role, so formats that carry boxes carry
+``span_start``/``span_end`` instead.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _ordered_doc_concat(words: DataFrame, key: str, line_expr, sep: str = "\n"):
+    """Render one string per word row, then concat in reading order."""
+    rendered = words.withColumn("_line", line_expr)
+    return rendered.groupBy(key).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("block_id", "para_id", "line_id", "word_id", "_line")
+                    )
+                ),
+                lambda s: s["_line"],
+            ),
+            sep,
+        ).alias("text")
+    )
+
+
+def render_tsv(words: DataFrame, key: str = "url") -> DataFrame:
+    """TSV renderer (get_tsv_text analog, /root/reference/src/api.rs:357-370;
+    tab-separated level/ids/box/conf/text, tests/test_e2e.rs:47):
+    level \\t block \\t para \\t line \\t word \\t span_start \\t span_end
+    \\t conf \\t text.  Level 5 = word (reference TSV level numbering)."""
+    line = F.format_string(
+        "5\t%d\t%d\t%d\t%d\t%d\t%d\t%d\t%s",
+        F.col("block_id"),
+        F.col("para_id"),
+        F.col("line_id"),
+        F.col("word_id"),
+        F.col("span_start"),
+        F.col("span_end"),
+        F.col("conf").cast("long"),
+        F.col("word"),
+    )
+    return _ordered_doc_concat(words, key, line).withColumnRenamed("text", "tsv")
+
+
+def render_hocr(words: DataFrame, key: str = "url") -> DataFrame:
+    """hOCR renderer (new_hocr_renderer analog,
+    /root/reference/src/result_renderer.rs:46-56; output carries ocr_page /
+    ocrx_word markup, tests/test_e2e.rs:46)."""
+    word_span = F.format_string(
+        "<span class='ocrx_word' title='span %d %d; x_wconf %d'>%s</span>",
+        F.col("span_start"),
+        F.col("span_end"),
+        F.col("conf").cast("long"),
+        F.col("word"),
+    )
+    per_doc = _ordered_doc_concat(words, key, word_span, sep=" ")
+    return per_doc.select(
+        key,
+        F.format_string(
+            "<div class='ocr_page' id='page_1'><p class='ocr_par'>%s</p></div>",
+            F.col("text"),
+        ).alias("hocr"),
+    )
+
+
+def render_box(words: DataFrame, key: str = "url") -> DataFrame:
+    """Box-format renderer (get_box_text analog,
+    /root/reference/src/api.rs:467-480: per-symbol "char l b r t page";
+    here per-word "word start end block page")."""
+    line = F.format_string(
+        "%s %d %d %d 0",
+        F.col("word"),
+        F.col("span_start"),
+        F.col("span_end"),
+        F.col("block_id"),
+    )
+    return _ordered_doc_concat(words, key, line).withColumnRenamed("text", "box")
+
+
+def render_alto(words: DataFrame, key: str = "url") -> DataFrame:
+    """ALTO-XML renderer (get_alto_text analog,
+    /root/reference/src/api.rs:333-346), minimal String/TextLine markup."""
+    word_el = F.format_string(
+        "<String CONTENT=\"%s\" HPOS=\"%d\" WIDTH=\"%d\" WC=\"%s\"/>",
+        F.col("word"),
+        F.col("span_start"),
+        F.col("span_end") - F.col("span_start"),
+        F.format_number(F.col("conf") / 100.0, 2),
+    )
+    per_doc = _ordered_doc_concat(words, key, word_el, sep="")
+    return per_doc.select(
+        key,
+        F.format_string(
+            "<alto><Layout><Page ID=\"page_1\"><TextLine>%s</TextLine></Page></Layout></alto>",
+            F.col("text"),
+        ).alias("alto"),
+    )
+
+
+def render_unlv(words: DataFrame, key: str = "url") -> DataFrame:
+    """UNLV zone renderer (get_unlv_text analog,
+    /root/reference/src/api.rs:535-548): plain latin-ish text, one word per
+    token, lines per block."""
+    lines = words.groupBy(key, "block_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_id", "word_id", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("_line")
+    )
+    return lines.groupBy(key).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("block_id", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("unlv")
+    )

@@ -1,0 +1,109 @@
+"""Training-data pipeline ops: quality gates for the probabilistic paths
+(MinHash-LSH, SimHash, ANN) against their exact baselines — the analog of
+the reference's confidence quality gates
+(/root/reference/tests/integration_test.rs:53-58)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from tesseract_rs_spark.functions.dedup import (
+    dedup_exact,
+    hamming64,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from tesseract_rs_spark.functions.similarity import ann_lsh_topk, cosine_topk
+from tesseract_rs_spark.functions.text import lang_id, quality_score
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    d.cache().count()
+    return d
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
+        "vec_id", F.col("vec_id").cast("long")
+    )
+    e.cache().count()
+    return e
+
+
+def test_minhash_lsh_recall_equals_exact(docs):
+    """On the planted near-dup corpus (j>=0.8), LSH candidates must not
+    miss a single true pair (64 hashes / 16 bands at t=0.8)."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_pairs(docs, threshold=0.8).collect()
+    }
+    assert exact, "corpus should contain planted near-duplicates"
+    assert approx == exact
+
+
+def test_dedup_exact_with_injected_duplicates(spark, docs):
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    full = docs.unionByName(dup)
+    res = dedup_exact(full)
+    groups = res.filter(F.col("group_size") > 1)
+    assert groups.count() == 10  # 5 pairs, both members flagged
+    # keeper is always the minimum id (the original)
+    bad = groups.filter(F.col("keeper_id") >= 100000).count()
+    assert bad == 0
+
+
+def test_simhash_separates_near_dups(spark, docs):
+    sh = simhash(docs)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8).select("id_a", "id_b")
+    a = sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("simhash", "sh_a")
+    b = sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("simhash", "sh_b")
+    near = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select(hamming64(F.col("sh_a"), F.col("sh_b")).alias("d"))
+        .agg(F.avg("d"))
+        .collect()[0][0]
+    )
+    # random-pair baseline: consecutive doc ids (not near-dups)
+    rnd = (
+        sh.withColumn("id_b", F.col("doc_id") + 1)
+        .join(b, "id_b")
+        .select(hamming64(F.col("simhash"), F.col("sh_b")).alias("d"))
+        .agg(F.avg("d"))
+        .collect()[0][0]
+    )
+    assert near < rnd / 2, (near, rnd)
+
+
+def test_ann_lsh_recall_vs_exact(emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=5)
+    approx = ann_lsh_topk(emb, queries, k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall  # calibrated: ~0.69 at b=4, L=8 on this data
+
+
+def test_cosine_topk_self_excluded_and_ranked(emb):
+    res = cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    assert res.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+    counts = res.groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in counts)
+
+
+def test_quality_and_lang_domains(docs):
+    q = quality_score(docs)
+    assert q.filter((F.col("quality") < 0) | (F.col("quality") > 100)).count() == 0
+    langs = {r["lang_pred"] for r in lang_id(docs).distinct().collect()}
+    assert langs <= {"en", "de", "fr", "es"}

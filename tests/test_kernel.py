@@ -199,7 +199,7 @@ class TestHierarchy:
         )
         r = extract_doc(html, CFG)
         rows = word_rows(r)
-        assert [(b, l, w, t) for b, _, l, w, t, _ in rows] == [
+        assert [(b, l, w, t) for b, _, l, w, t, *_ in rows] == [
             (0, 0, 0, "aa"),
             (0, 0, 1, "bb"),
             (0, 1, 0, "cc"),
@@ -210,6 +210,8 @@ class TestHierarchy:
         # all confidences in [0,100] (tests/test_api.rs:221-238)
         html = wrap("<article><p>some words here for conf</p></article>")
         r = extract_doc(html, CFG)
-        for *_ids, _w, conf in word_rows(r):
+        for _b, _p, _l, _w, _word, conf, s, e in word_rows(r):
             assert 0.0 <= conf <= 100.0
+            assert 0 <= s < e  # span invariant (bbox l<r analog,
+            # tests/test_iterators.rs:179-193)
         assert 0 <= r.mean_conf <= 100
