@@ -33,8 +33,16 @@ from tesseract_rs_spark.functions.text import (
     text_stats,
 )
 from tesseract_rs_spark.operators.extract import extract_text, extract_words
+from tesseract_rs_spark.operators.ocr import ocr_text, ocr_words
 from tesseract_rs_spark.operators.renderers import render_tsv, render_unlv
-from tesseract_rs_spark.sources.pages import pages_from_documents
+from tesseract_rs_spark.sources.pages import (
+    pages_from_documents,
+    raster_pages_from_documents,
+)
+
+# raster layout params shared by queries and oracles
+WPL = 8   # words per line
+LPP = 3   # lines per paragraph
 
 # charset used by the whitelist query (tessedit_char_whitelist analog)
 WHITELIST = "abcdefghijklm "
@@ -129,6 +137,29 @@ def _q_render_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render_tsv(words, key="doc_id")
 
 
+# --- raster-OCR path (PAGE binary format, kernels/raster.py) ---
+
+
+def _q_ocr_text(spark, sf_dir):
+    pages = raster_pages_from_documents(_docs(spark, sf_dir), WPL, LPP)
+    return ocr_text(pages, id_cols=("doc_id",)).select("doc_id", "text", "status")
+
+
+def _q_ocr_words(spark, sf_dir):
+    pages = raster_pages_from_documents(_docs(spark, sf_dir), WPL, LPP)
+    return ocr_words(pages, id_cols=("doc_id",)).select(
+        "doc_id", "para_id", "line_id", "word_id", "word",
+        "left", "top", "right", "bottom", "baseline_y",
+    )
+
+
+def _q_ocr_metrics(spark, sf_dir):
+    pages = raster_pages_from_documents(_docs(spark, sf_dir), WPL, LPP)
+    return ocr_text(pages, id_cols=("doc_id",)).select(
+        "doc_id", "status", "orientation_deg", "n_components", "n_words"
+    )
+
+
 # --- training-data pipeline ops over the raw documents/embeddings tables ---
 
 
@@ -197,6 +228,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_whitelist": _q_extract_text_whitelist,
         "render_unlv": _q_render_unlv,
         "render_tsv": _q_render_tsv,
+        "ocr_text": _q_ocr_text,
+        "ocr_words": _q_ocr_words,
+        "ocr_metrics": _q_ocr_metrics,
         "text_stats": _q_text_stats,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
@@ -294,6 +328,56 @@ def oracle_sql() -> dict[str, str]:
         FROM paras GROUP BY doc_id
         """,
         # render_tsv: rows-only check (span offsets are render arithmetic)
+        "ocr_text": _WORDS_CTE
+        + f"""
+        , lines AS (
+          SELECT doc_id, CAST((wid - 1) // {WPL} AS BIGINT) AS li,
+                 string_agg(w, ' ' ORDER BY wid) AS line
+          FROM words GROUP BY doc_id, li
+        ),
+        paras AS (
+          SELECT doc_id, CAST(li // {LPP} AS BIGINT) AS pi,
+                 string_agg(line, {nl} ORDER BY li) AS para
+          FROM lines GROUP BY doc_id, pi
+        )
+        SELECT doc_id,
+               string_agg(para, {para_sep} ORDER BY pi) || {nl} AS text,
+               'ok' AS status
+        FROM paras GROUP BY doc_id
+        """,
+        "ocr_words": _WORDS_CTE
+        + f"""
+        , geo AS (
+          SELECT doc_id, w, wid,
+                 (wid - 1) // {WPL} AS li,
+                 CAST((wid - 1) % {WPL} AS BIGINT) AS word_id,
+                 16 + COALESCE(SUM(18 * length(w) + 12) OVER (
+                      PARTITION BY doc_id, (wid - 1) // {WPL}
+                      ORDER BY wid
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS left_px
+          FROM words
+        )
+        SELECT doc_id,
+               CAST(li // {LPP} AS BIGINT) AS para_id,
+               CAST(li % {LPP} AS BIGINT) AS line_id,
+               word_id,
+               w AS word,
+               CAST(left_px AS BIGINT) AS "left",
+               CAST(16 + li * 36 + (li // {LPP}) * 24 AS BIGINT) AS top,
+               CAST(left_px + 18 * length(w) - 2 AS BIGINT) AS "right",
+               CAST(16 + li * 36 + (li // {LPP}) * 24 + 24 AS BIGINT) AS bottom,
+               CAST(16 + li * 36 + (li // {LPP}) * 24 + 24 AS BIGINT) AS baseline_y
+        FROM geo
+        """,
+        "ocr_metrics": """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               'ok' AS status,
+               CAST(0 AS BIGINT) AS orientation_deg,
+               CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_components,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        FROM documents
+        """,
         "text_stats": f"""
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
                CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,

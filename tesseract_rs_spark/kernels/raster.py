@@ -1,0 +1,451 @@
+"""Raster page pipeline — the OCR-shaped decode path.
+
+Reproduces the observable semantics of the reference's engine stages over
+the FIXTURES.md §1.1 ``PAGE`` raster format:
+
+- header validation with the exact ``set_image`` rules
+  (/root/reference/src/api.rs:1204-1221: dims > 0, bpp in {1,3},
+  bpl >= w*bpp, payload length == h*bpl);
+- **Otsu adaptive binarization** (observable via ``get_thresholded_image``,
+  /root/reference/src/api.rs:445-456): 256-bin histogram ->
+  between-class-variance argmax — pure numpy;
+- **connected-component labeling** (Leptonica-style two-pass union-find)
+  feeding line/word segmentation (``analyse_layout``,
+  /root/reference/src/api.rs:1353-1364);
+- **baseline fitting** per line (least squares through component bottoms,
+  /root/reference/src/page_iterator.rs:159-175);
+- **glyph template decode** against a deterministic stroke-encoded atlas
+  (the reference's own fixture idiom: rasterize a known glyph, expect it
+  back — README.md:231-263, tests/integration_test.rs:445-513);
+- **OSD**: orientation by projection-profile variance
+  (/root/reference/src/page_iterator.rs:182-217, api.rs:599-629);
+- assembly under the same byte-exact contract as the HTML path.
+
+Everything is a pure function of (bytes, config); zero I/O.
+
+Geometry constants (the renderer and the decoder share them, so goldens —
+including pixel bounding boxes — are knowable in closed form):
+
+    GLYPH_W=16, GLYPH_H=24, ADVANCE=18 (2px intra-word gap),
+    WORD_GAP=14 (ink-to-ink), LINE_GAP=12, PARA_GAP=36, MARGIN=16.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+MAGIC = 0x50414745  # "PAGE"
+HEADER = struct.Struct("<IiiII")  # magic, width, height, bpp, bpl... see decode
+
+GLYPH_W = 16
+GLYPH_H = 24
+ADVANCE = GLYPH_W + 2          # glyph pitch inside a word
+WORD_GAP = 14                  # ink-to-ink horizontal gap between words
+LINE_PITCH = GLYPH_H + 12      # line top-to-top distance within a paragraph
+PARA_EXTRA = 24                # additional gap between paragraphs (36 total)
+MARGIN = 16
+
+INK = 40
+BG = 220
+
+CHARSET = "abcdefghijklmnopqrstuvwxyz0123456789.,!?"
+
+# statuses mirroring the reference error variants (src/error.rs:6-41)
+STATUS_OK = "ok"
+STATUS_BAD_MAGIC = "invalid_image_data"
+STATUS_BAD_DIMS = "invalid_dimensions"
+STATUS_BAD_BPP = "invalid_bytes_per_pixel"
+STATUS_BAD_BPL = "invalid_bytes_per_line"
+STATUS_SHORT = "invalid_image_data"
+
+
+# ---------------------------------------------------------------------------
+# Glyph atlas: connected, distinct, identity readable from strokes
+# ---------------------------------------------------------------------------
+
+
+def _glyph_mask(index: int) -> np.ndarray:
+    """16x24 binary mask: a full-height 2px spine plus one 4-row horizontal
+    stroke per set bit of ``index+1`` (6 stroke slots).  Always a single
+    connected component; every charset index yields a distinct mask."""
+    m = np.zeros((GLYPH_H, GLYPH_W), dtype=bool)
+    m[:, 0:2] = True
+    code = index + 1  # avoid the all-zero pattern ambiguity with padding
+    for bit in range(6):
+        if code & (1 << bit):
+            m[bit * 4 : bit * 4 + 4, 2:GLYPH_W] = True
+    return m
+
+
+ATLAS = {c: _glyph_mask(i) for i, c in enumerate(CHARSET)}
+_ATLAS_STACK = np.stack([ATLAS[c] for c in CHARSET])  # (n_chars, 24, 16)
+_ATLAS_FLAT = _ATLAS_STACK.reshape(len(CHARSET), -1).astype(np.int16)
+
+
+@dataclass
+class RasterResult:
+    status: str
+    text: str
+    words: list  # (block_id, para_id, line_id, word_id, word, conf,
+    #               left, top, right, bottom, baseline_y)
+    threshold: int
+    orientation_deg: int
+    n_components: int
+    mean_conf: int
+    failure_spans: list  # [(byte_start, byte_end)]
+
+
+# ---------------------------------------------------------------------------
+# decode + validate (set_image rules, api.rs:1204-1221)
+# ---------------------------------------------------------------------------
+
+
+def decode_page(payload) -> tuple:
+    """-> (img float array | None, status).  Never raises."""
+    if payload is None or len(payload) < 20:
+        return None, STATUS_SHORT
+    buf = bytes(payload)
+    magic, width, height, bpp, bpl = struct.unpack_from("<Iiiii", buf, 0)
+    if magic != MAGIC:
+        return None, STATUS_BAD_MAGIC
+    if width <= 0 or height <= 0:
+        return None, STATUS_BAD_DIMS
+    if bpp not in (1, 3):
+        return None, STATUS_BAD_BPP
+    if bpl < width * bpp:
+        return None, STATUS_BAD_BPL
+    if len(buf) - 20 < height * bpl:
+        return None, STATUS_SHORT
+    arr = np.frombuffer(buf, dtype=np.uint8, offset=20, count=height * bpl)
+    arr = arr.reshape(height, bpl)
+    if bpp == 1:
+        img = arr[:, :width]
+    else:
+        rgb = arr[:, : width * 3].reshape(height, width, 3).astype(np.uint32)
+        img = ((rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114) // 1000).astype(
+            np.uint8
+        )
+    return img, STATUS_OK
+
+
+def otsu_threshold(img: np.ndarray) -> int:
+    """Between-class-variance argmax over the 256-bin histogram."""
+    hist = np.bincount(img.reshape(-1), minlength=256).astype(np.float64)
+    total = hist.sum()
+    w0 = np.cumsum(hist)
+    w1 = total - w0
+    cum_mean = np.cumsum(hist * np.arange(256))
+    mean_total = cum_mean[-1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mu0 = cum_mean / w0
+        mu1 = (mean_total - cum_mean) / w1
+        var_between = w0 * w1 * (mu0 - mu1) ** 2
+    var_between = np.nan_to_num(var_between)
+    return int(np.argmax(var_between))
+
+
+def connected_components(binary: np.ndarray) -> tuple:
+    """Two-pass union-find labeling (4-connectivity).  Returns
+    (n_components, stats) where stats is an (n, 5) int array of
+    (left, top, right, bottom, area) per component, 1-indexed order."""
+    h, w = binary.shape
+    labels = np.zeros((h, w), dtype=np.int32)
+    parent = [0]
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    next_label = 1
+    for y in range(h):
+        row = binary[y]
+        if not row.any():
+            continue
+        # run-length decompose the row: starts/ends of ink runs
+        diff = np.diff(row.astype(np.int8))
+        starts = list(np.where(diff == 1)[0] + 1)
+        ends = list(np.where(diff == -1)[0] + 1)
+        if row[0]:
+            starts.insert(0, 0)
+        if row[-1]:
+            ends.append(w)
+        prev_row = labels[y - 1] if y > 0 else None
+        for s, e in zip(starts, ends):
+            vals = set(prev_row[s:e].tolist()) - {0} if prev_row is not None else None
+            if not vals:
+                parent.append(next_label)
+                labels[y, s:e] = next_label
+                next_label += 1
+            else:
+                roots = {find(a) for a in vals}
+                root = min(roots)
+                labels[y, s:e] = root
+                for r in roots:
+                    if r != root:
+                        parent[r] = root
+    # resolve + relabel compactly
+    if next_label == 1:
+        return 0, np.zeros((0, 5), dtype=np.int64)
+    flat = labels.reshape(-1)
+    nz = flat > 0
+    roots = np.array([find(i) for i in range(next_label)], dtype=np.int32)
+    flat[nz] = roots[flat[nz]]
+    uniq, inv = np.unique(flat[nz], return_inverse=True)
+    flat[nz] = inv + 1
+    n = len(uniq)
+    ys, xs = np.nonzero(labels)
+    ls = labels[ys, xs] - 1
+    stats = np.zeros((n, 5), dtype=np.int64)
+    stats[:, 0] = np.full(n, 1 << 30)
+    stats[:, 1] = np.full(n, 1 << 30)
+    np.minimum.at(stats[:, 0], ls, xs)
+    np.minimum.at(stats[:, 1], ls, ys)
+    np.maximum.at(stats[:, 2], ls, xs)
+    np.maximum.at(stats[:, 3], ls, ys)
+    np.add.at(stats[:, 4], ls, 1)
+    stats[:, 2] += 1  # exclusive right/bottom
+    stats[:, 3] += 1
+    return n, stats
+
+
+def segment_layout(stats: np.ndarray) -> list:
+    """Group component boxes into lines -> words -> paragraphs by the
+    shared geometry constants (tab-stop/line grouping analog).  Returns
+    [(para_id, line_id, word_boxes)] where word_boxes is a list of
+    (left, top, right, bottom, [glyph boxes])."""
+    if len(stats) == 0:
+        return []
+    order = np.lexsort((stats[:, 0], stats[:, 1]))
+    comps = stats[order]
+    # group into lines: components whose vertical extent overlaps
+    lines: list = []
+    cur: list = []
+    cur_top = None
+    for c in comps:
+        if cur_top is None or c[1] < cur_top + GLYPH_H:  # same text line
+            cur.append(c)
+            cur_top = min(cur_top, int(c[1])) if cur_top is not None else int(c[1])
+        else:
+            lines.append((cur_top, cur))
+            cur, cur_top = [c], int(c[1])
+    if cur:
+        lines.append((cur_top, cur))
+    # paragraphs: line-top gaps larger than LINE_PITCH mean a new para
+    out = []
+    para_id, line_id = 0, 0
+    prev_top = None
+    for top, comps_in_line in lines:
+        if prev_top is not None:
+            if top - prev_top > LINE_PITCH + PARA_EXTRA // 2:
+                para_id += 1
+                line_id = 0
+        comps_in_line.sort(key=lambda c: int(c[0]))
+        # words: split on horizontal ink gaps > the intra-word gap
+        words = []
+        word: list = []
+        prev_right = None
+        for c in comps_in_line:
+            if prev_right is not None and int(c[0]) - prev_right > (WORD_GAP + 2) // 2:
+                words.append(word)
+                word = []
+            word.append(c)
+            prev_right = int(c[2])
+        if word:
+            words.append(word)
+        boxes = []
+        for glyphs in words:
+            l = min(int(g[0]) for g in glyphs)
+            t = min(int(g[1]) for g in glyphs)
+            r = max(int(g[2]) for g in glyphs)
+            btm = max(int(g[3]) for g in glyphs)
+            boxes.append((l, t, r, btm, glyphs))
+        out.append((para_id, line_id, boxes))
+        line_id += 1
+        prev_top = top
+    return out
+
+
+def fit_baseline(glyphs) -> int:
+    """Least-squares line through glyph bottoms; returns baseline y at the
+    word start (deg-1 polyfit, page_iterator.rs:159-175).  With the flat
+    synthetic glyphs the slope is 0 and baseline == bottom."""
+    xs = np.array([g[0] for g in glyphs], dtype=np.float64)
+    ys = np.array([g[3] for g in glyphs], dtype=np.float64)
+    if len(xs) == 1 or xs.max() == xs.min():
+        return int(round(float(ys.mean())))
+    slope, intercept = np.polyfit(xs, ys, 1)
+    return int(round(intercept + slope * xs[0]))
+
+
+def decode_word(binary: np.ndarray, box, whitelist: set | None) -> tuple:
+    """Fixed-pitch template decode of one word region -> (text, conf).
+    Exact mask match = conf 100; otherwise nearest by Hamming distance
+    (decode-mask semantics: whitelist restricts the template set,
+    tests/integration_test.rs:102-106)."""
+    l, t, r, btm, _ = box
+    region = binary[t : t + GLYPH_H, l:r]
+    n_glyphs = max(1, (r - l + 2) // ADVANCE)
+    chars = []
+    confs = []
+    allowed = [i for i, c in enumerate(CHARSET) if whitelist is None or c in whitelist]
+    if not allowed:
+        return "", 0.0
+    flat_allowed = _ATLAS_FLAT[allowed]
+    for k in range(n_glyphs):
+        x0 = k * ADVANCE
+        cell = np.zeros((GLYPH_H, GLYPH_W), dtype=bool)
+        piece = region[:, x0 : x0 + GLYPH_W]
+        cell[: piece.shape[0], : piece.shape[1]] = piece
+        dists = np.abs(flat_allowed - cell.reshape(-1).astype(np.int16)).sum(axis=1)
+        j = int(np.argmin(dists))
+        chars.append(CHARSET[allowed[j]])
+        confs.append(100.0 * (1.0 - dists[j] / cell.size))
+    return "".join(chars), float(np.mean(confs))
+
+
+def osd_orientation(binary: np.ndarray) -> int:
+    """Orientation (0/90/180/270) by projection-profile variance: text
+    pages have much higher row-profile variance upright than sideways
+    (detect_os analog, api.rs:599-629).  0 vs 180 is resolved as 0 (the
+    profile is symmetric for our glyphs; the reference defaults PAGE_UP,
+    enums.rs:126-134)."""
+    rows = binary.sum(axis=1).astype(np.float64)
+    cols = binary.sum(axis=0).astype(np.float64)
+    return 0 if rows.var() >= cols.var() else 90
+
+
+def extract_raster_doc(payload, whitelist: str | None = None) -> RasterResult:
+    img, status = decode_page(payload)
+    if status != STATUS_OK:
+        n = len(payload) if payload is not None else 0
+        return RasterResult(status, "", [], -1, 0, 0, 0, [(0, n)])
+    t = otsu_threshold(img)
+    binary = img <= t
+    n_comp, stats = connected_components(binary)
+    layout = segment_layout(stats)
+    wl = set(whitelist) if whitelist else None
+    words = []
+    lines_text: dict = {}
+    for para_id, line_id, boxes in layout:
+        for word_id, box in enumerate(boxes):
+            text, conf = decode_word(binary, box, wl)
+            if not text:
+                continue
+            baseline_y = fit_baseline(box[4])
+            words.append(
+                (
+                    0,
+                    para_id,
+                    line_id,
+                    word_id,
+                    text,
+                    conf,
+                    box[0],
+                    box[1],
+                    box[2],
+                    box[3],
+                    baseline_y,
+                )
+            )
+            lines_text.setdefault((para_id, line_id), []).append(text)
+    # assembly: words ' ', lines '\n', paragraphs '\n\n', trailing '\n'
+    paras: dict = {}
+    for (para_id, line_id), ws in sorted(lines_text.items()):
+        paras.setdefault(para_id, []).append(" ".join(ws))
+    text = "\n\n".join("\n".join(ls) for _, ls in sorted(paras.items()))
+    if text:
+        text += "\n"
+    confs = [w[5] for w in words]
+    mean_conf = int(round(float(np.mean(confs)))) if confs else 0
+    return RasterResult(
+        STATUS_OK, text, words, t, osd_orientation(binary), n_comp, mean_conf, []
+    )
+
+
+# ---------------------------------------------------------------------------
+# renderer (corpus #2): text -> PAGE raster, goldens knowable in closed form
+# ---------------------------------------------------------------------------
+
+
+def render_page(
+    text: str,
+    words_per_line: int = 8,
+    lines_per_para: int = 3,
+    bpp: int = 1,
+    pad: int = 0,
+) -> bytes:
+    """Rasterize space-separated text with the shared geometry constants.
+    Layout: ``words_per_line`` words per line, ``lines_per_para`` lines per
+    paragraph.  Unknown charset characters are skipped (whitelist-by-
+    construction).  ``pad`` adds stride padding (bpl > w*bpp) to exercise
+    the stride-handling path of decode."""
+    words = [
+        "".join(ch for ch in w if ch in ATLAS) for w in text.split(" ") if w
+    ]
+    words = [w for w in words if w]
+    lines = [words[i : i + words_per_line] for i in range(0, len(words), words_per_line)]
+    widths = [
+        sum(ADVANCE * len(w) - 2 for w in line) + WORD_GAP * (len(line) - 1)
+        for line in lines
+    ] or [0]
+    width = MARGIN * 2 + max(widths)
+    n_paras = (len(lines) + lines_per_para - 1) // lines_per_para if lines else 0
+    height = (
+        MARGIN * 2
+        + len(lines) * LINE_PITCH
+        - (12 if lines else 0)
+        + max(0, n_paras - 1) * PARA_EXTRA
+    )
+    height = max(height, MARGIN * 2 + GLYPH_H)
+    img = np.full((height, width), BG, dtype=np.uint8)
+    # deterministic dither so Otsu sees a genuine bimodal histogram
+    yy, xx = np.mgrid[0:height, 0:width]
+    img = (img + ((xx * 7 + yy * 13) % 17) % 8 - 4).astype(np.uint8)
+    y = MARGIN
+    for li, line in enumerate(lines):
+        if li > 0:
+            y += LINE_PITCH
+            if li % lines_per_para == 0:
+                y += PARA_EXTRA
+        x = MARGIN
+        for w in line:
+            for ch in w:
+                mask = ATLAS[ch]
+                img[y : y + GLYPH_H, x : x + GLYPH_W][mask] = INK
+                x += ADVANCE
+            x += WORD_GAP - 2  # back out the trailing intra-word advance gap
+        # (x now one word-gap past the line's right edge; unused)
+    bpl = width * bpp + pad
+    if bpp == 3:
+        payload = np.repeat(img[:, :, None], 3, axis=2).reshape(height, width * 3)
+    else:
+        payload = img
+    if pad:
+        payload = np.concatenate(
+            [payload, np.zeros((height, pad), dtype=np.uint8)], axis=1
+        )
+    header = struct.pack("<Iiiii", MAGIC, width, height, bpp, bpl)
+    return header + payload.tobytes()
+
+
+def golden_raster_text(
+    text: str, words_per_line: int = 8, lines_per_para: int = 3
+) -> str:
+    """Expected OCR output by construction (charset-filtered words, wrapped
+    into lines/paragraphs, assembly contract applied)."""
+    words = ["".join(ch for ch in w if ch in ATLAS) for w in text.split(" ") if w]
+    words = [w for w in words if w]
+    lines = [
+        " ".join(words[i : i + words_per_line])
+        for i in range(0, len(words), words_per_line)
+    ]
+    paras = [
+        "\n".join(lines[i : i + lines_per_para])
+        for i in range(0, len(lines), lines_per_para)
+    ]
+    return "\n\n".join(paras) + "\n" if paras else ""

@@ -1,0 +1,102 @@
+"""Distributed raster-OCR operators — the PAGE-format twin of
+operators/extract.py (one fused mapInPandas stage: decode -> Otsu ->
+CC-label -> segment -> template-decode -> assemble; SURVEY.md §3.1).
+
+Emits real pixel bounding boxes and per-line baselines — the literal
+page-iterator surface (/root/reference/src/page_iterator.rs:110-175)."""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from tesseract_rs_spark.config import ExtractConfig
+from tesseract_rs_spark.kernels.raster import extract_raster_doc
+
+OCR_TEXT_FIELDS = (
+    "text string, status string, threshold long, orientation_deg long, "
+    "n_components long, n_words long, mean_conf long"
+)
+OCR_WORD_FIELDS = (
+    "block_id long, para_id long, line_id long, word_id long, word string, "
+    "conf double, left long, top long, right long, bottom long, baseline_y long"
+)
+
+
+def _id_schema(pages: DataFrame, id_cols: Sequence[str]) -> str:
+    by_name = {f.name: f for f in pages.schema.fields}
+    return ", ".join(f"{c} {by_name[c].dataType.simpleString()}" for c in id_cols)
+
+
+def ocr_text(
+    pages: DataFrame,
+    cfg: ExtractConfig | None = None,
+    id_cols: Sequence[str] = ("url",),
+    payload_col: str = "html",
+) -> DataFrame:
+    cfg = cfg or ExtractConfig()
+    wl = cfg.char_whitelist
+    schema = _id_schema(pages, id_cols) + ", " + OCR_TEXT_FIELDS
+    id_cols = tuple(id_cols)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            results = [extract_raster_doc(p, whitelist=wl) for p in pdf[payload_col]]
+            out = {c: pdf[c].to_numpy() for c in id_cols}
+            out["text"] = [r.text for r in results]
+            out["status"] = [r.status for r in results]
+            out["threshold"] = pd.array([r.threshold for r in results], dtype="int64")
+            out["orientation_deg"] = pd.array(
+                [r.orientation_deg for r in results], dtype="int64"
+            )
+            out["n_components"] = pd.array(
+                [r.n_components for r in results], dtype="int64"
+            )
+            out["n_words"] = pd.array([len(r.words) for r in results], dtype="int64")
+            out["mean_conf"] = pd.array([r.mean_conf for r in results], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return pages.select(*id_cols, payload_col).mapInPandas(gen, schema=schema)
+
+
+def ocr_words(
+    pages: DataFrame,
+    cfg: ExtractConfig | None = None,
+    id_cols: Sequence[str] = ("url",),
+    payload_col: str = "html",
+) -> DataFrame:
+    cfg = cfg or ExtractConfig()
+    wl = cfg.char_whitelist
+    schema = _id_schema(pages, id_cols) + ", " + OCR_WORD_FIELDS
+    id_cols = tuple(id_cols)
+    keys = (
+        "block_id", "para_id", "line_id", "word_id", "word", "conf",
+        "left", "top", "right", "bottom", "baseline_y",
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids: dict = {c: [] for c in id_cols}
+            cols: dict = {k: [] for k in keys}
+            for row in pdf.itertuples(index=False):
+                r = extract_raster_doc(getattr(row, payload_col), whitelist=wl)
+                for c in id_cols:
+                    ids[c].extend([getattr(row, c)] * len(r.words))
+                for vals in r.words:
+                    for k, v in zip(keys, vals):
+                        cols[k].append(v)
+            out = {**ids, **cols}
+            for k in keys:
+                if k == "word":
+                    continue
+                dtype = "float64" if k == "conf" else "int64"
+                out[k] = pd.array(out[k], dtype=dtype)
+            yield pd.DataFrame(out)
+
+    return pages.select(*id_cols, payload_col).mapInPandas(gen, schema=schema)

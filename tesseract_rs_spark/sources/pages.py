@@ -64,6 +64,42 @@ def render_batch(
     )
 
 
+def raster_pages_from_documents(
+    docs: DataFrame,
+    words_per_line: int = 8,
+    lines_per_para: int = 3,
+) -> DataFrame:
+    """documents -> PAGE-raster pages (FIXTURES.md §1.1 binary layout):
+    each document's text rasterized with the shared geometry constants, so
+    OCR goldens (text AND pixel bboxes) are knowable in closed form."""
+    from tesseract_rs_spark.kernels.raster import render_page
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "url": [
+                        page_url(int(d), l)
+                        for d, l in zip(pdf["doc_id"], pdf["lang"])
+                    ],
+                    "warc_ts": [page_ts(int(d)) for d in pdf["doc_id"]],
+                    "html": [
+                        render_page(t, words_per_line, lines_per_para)
+                        for t in pdf["text"]
+                    ],
+                    "text": pdf["text"],
+                    "lang": pdf["lang"],
+                }
+            )
+
+    return docs.select("doc_id", "text", "lang").mapInPandas(
+        gen, schema=PAGES_FROM_DOCS_SCHEMA
+    )
+
+
 def pages_from_documents(
     docs: DataFrame,
     para_words: int = DEFAULT_PARA_WORDS,

@@ -1,0 +1,134 @@
+"""Raster PAGE pipeline unit + golden tests — mirrors the reference's
+per-method and iterator altitudes (/root/reference/tests/test_api.rs,
+tests/test_iterators.rs) for the OCR-shaped decode path."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from tesseract_rs_spark.kernels.raster import (
+    ATLAS,
+    CHARSET,
+    MAGIC,
+    connected_components,
+    decode_page,
+    extract_raster_doc,
+    golden_raster_text,
+    osd_orientation,
+    otsu_threshold,
+    render_page,
+)
+
+TEXT = "the quick brown fox jumps over a lazy dog with many more words to wrap lines"
+
+
+class TestValidation:
+    """set_image rules (/root/reference/src/api.rs:1204-1221), each its own
+    error variant (tests/test_api.rs error paths)."""
+
+    def test_bad_magic(self):
+        assert extract_raster_doc(b"nonsense bytes here, 20+").status == "invalid_image_data"
+
+    def test_bad_dims(self):
+        p = struct.pack("<Iiiii", MAGIC, -5, 10, 1, 10)
+        assert extract_raster_doc(p).status == "invalid_dimensions"
+
+    def test_bad_bpp(self):
+        p = struct.pack("<Iiiii", MAGIC, 10, 10, 2, 20)
+        assert extract_raster_doc(p).status == "invalid_bytes_per_pixel"
+
+    def test_bad_bpl(self):
+        # bpl < width*bpp (api.rs:1213)
+        p = struct.pack("<Iiiii", MAGIC, 10, 10, 1, 5)
+        assert extract_raster_doc(p).status == "invalid_bytes_per_line"
+
+    def test_short_payload(self):
+        p = struct.pack("<Iiiii", MAGIC, 10, 10, 1, 10) + b"\x00" * 50
+        assert extract_raster_doc(p).status == "invalid_image_data"
+
+    def test_failure_span_on_error(self):
+        r = extract_raster_doc(b"nonsense bytes here, 20+")
+        assert r.failure_spans == [(0, 24)]
+
+
+class TestKernels:
+    def test_otsu_bimodal(self):
+        img = np.full((50, 50), 220, dtype=np.uint8)
+        img[10:20, 10:20] = 40
+        t = otsu_threshold(img)
+        assert 40 <= t < 220
+
+    def test_cc_counts_and_bbox_invariants(self):
+        b = np.zeros((30, 30), dtype=bool)
+        b[2:6, 2:6] = True      # square
+        b[10:12, 20:28] = True  # bar
+        b[20, 5] = True         # dot
+        n, stats = connected_components(b)
+        assert n == 3
+        for l, t, r, btm, area in stats:
+            assert l < r and t < btm and area > 0  # tests/test_iterators.rs:179-193
+
+    def test_cc_merge_u_shape(self):
+        # two arms joined at the bottom must be ONE component (union-find)
+        b = np.zeros((10, 10), dtype=bool)
+        b[0:8, 1] = True
+        b[0:8, 6] = True
+        b[7, 1:7] = True
+        n, _ = connected_components(b)
+        assert n == 1
+
+    def test_atlas_distinct_and_connected(self):
+        flat = {a.tobytes() for a in ATLAS.values()}
+        assert len(flat) == len(CHARSET)
+        for c, m in ATLAS.items():
+            n, _ = connected_components(m)
+            assert n == 1, f"glyph {c!r} not connected"
+
+    def test_orientation(self):
+        page = render_page(TEXT)
+        img, _ = decode_page(page)
+        t = otsu_threshold(img)
+        assert osd_orientation(img <= t) == 0
+        assert osd_orientation((img <= t).T) == 90
+
+
+class TestGolden:
+    """Render known text, expect it back — the reference's own idiom
+    (README.md:231-263 'draw a 9, expect 9')."""
+
+    def test_roundtrip(self):
+        r = extract_raster_doc(render_page(TEXT))
+        assert r.status == "ok"
+        assert r.text == golden_raster_text(TEXT)
+        assert r.mean_conf == 100
+
+    def test_roundtrip_rgb_and_stride(self):
+        assert extract_raster_doc(render_page(TEXT, bpp=3)).text == golden_raster_text(TEXT)
+        assert extract_raster_doc(render_page(TEXT, pad=7)).text == golden_raster_text(TEXT)
+
+    def test_single_char(self):
+        # the README "digit 9" fixture, scaled: one glyph in, one char out
+        r = extract_raster_doc(render_page("9"))
+        assert r.text == "9\n"
+
+    def test_whitelist_decode_mask(self):
+        # whitelist restricts the template set (integration_test.rs:129-130)
+        r = extract_raster_doc(render_page("42"), whitelist="0123456789")
+        assert r.text == "42\n"
+        assert set(r.text) <= set("0123456789\n")
+
+    def test_word_geometry(self):
+        r = extract_raster_doc(render_page("ab cd"))
+        (w1, w2) = r.words
+        assert w1[4] == "ab" and w2[4] == "cd"
+        l1, t1, r1, b1, base1 = w1[6:11]
+        assert (l1, t1) == (16, 16)
+        assert r1 == 16 + 18 * 2 - 2 and b1 == 16 + 24
+        assert base1 == b1  # flat synthetic glyphs: baseline == bottom
+        assert w2[6] == r1 + 14  # WORD_GAP ink-to-ink
+
+    def test_determinism(self):
+        a = extract_raster_doc(render_page(TEXT))
+        b = extract_raster_doc(render_page(TEXT))
+        assert a.text == b.text and a.threshold == b.threshold
