@@ -32,8 +32,10 @@ from tesseract_rs_spark.functions.text import (
     shingle_fingerprint,
     text_stats,
 )
+from tesseract_rs_spark.corpus import render_html
 from tesseract_rs_spark.operators.extract import extract_text, extract_words
-from tesseract_rs_spark.operators.ocr import ocr_text, ocr_words
+from tesseract_rs_spark.operators.multipage import process_pages
+from tesseract_rs_spark.operators.ocr import ocr_layout, ocr_symbols, ocr_text, ocr_words
 from tesseract_rs_spark.operators.renderers import render_tsv, render_unlv
 from tesseract_rs_spark.sources.pages import (
     pages_from_documents,
@@ -160,6 +162,63 @@ def _q_ocr_metrics(spark, sf_dir):
     )
 
 
+def _q_ocr_symbols(spark, sf_dir):
+    pages = raster_pages_from_documents(_docs(spark, sf_dir), WPL, LPP)
+    return ocr_symbols(pages, id_cols=("doc_id",)).select(
+        "doc_id", "para_id", "line_id", "word_id", "symbol_id", "glyph"
+    )
+
+
+def _q_ocr_layout(spark, sf_dir):
+    pages = raster_pages_from_documents(_docs(spark, sf_dir), WPL, LPP)
+    return ocr_layout(pages, id_cols=("doc_id",))
+
+
+def _q_multipage_text(spark, sf_dir):
+    """process_pages analog: documents split into two half-word pages,
+    extracted independently, reassembled with '\\f' in page order."""
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    half = F.ceil(F.size(toks) / 2).cast("int")
+    p0 = docs.select(
+        "doc_id",
+        F.lit(0).alias("page_num"),
+        F.array_join(F.slice(toks, F.lit(1), half), " ").alias("ptext"),
+        "lang",
+    )
+    p1 = docs.select(
+        "doc_id",
+        F.lit(1).alias("page_num"),
+        F.array_join(F.slice(toks, half + 1, F.size(toks) - half), " ").alias("ptext"),
+        "lang",
+    )
+    split_pages = p0.unionByName(p1)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "page_num": pdf["page_num"].astype("int64"),
+                    "html": [
+                        render_html(
+                            t, int(d) * 2 + int(p), l, para_words=_SINGLE_PARA
+                        ).encode("utf-8")
+                        for d, p, t, l in zip(
+                            pdf["doc_id"], pdf["page_num"], pdf["ptext"], pdf["lang"]
+                        )
+                    ],
+                }
+            )
+
+    pages = split_pages.mapInPandas(gen, "doc_id long, page_num long, html binary")
+    return process_pages(pages, key="doc_id").select("doc_id", "text", "n_pages")
+
+
 # --- training-data pipeline ops over the raw documents/embeddings tables ---
 
 
@@ -231,6 +290,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_text": _q_ocr_text,
         "ocr_words": _q_ocr_words,
         "ocr_metrics": _q_ocr_metrics,
+        "ocr_symbols": _q_ocr_symbols,
+        "ocr_layout": _q_ocr_layout,
+        "multipage_text": _q_multipage_text,
         "text_stats": _q_text_stats,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
@@ -377,6 +439,61 @@ def oracle_sql() -> dict[str, str]:
                CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_components,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
         FROM documents
+        """,
+        "ocr_symbols": _WORDS_CTE
+        + f"""
+        , chars AS (
+          SELECT doc_id, wid, (wid - 1) // {WPL} AS li,
+                 generate_subscripts(string_split(w, ''), 1) AS sid,
+                 unnest(string_split(w, '')) AS glyph
+          FROM words
+        )
+        SELECT doc_id,
+               CAST(li // {LPP} AS BIGINT) AS para_id,
+               CAST(li % {LPP} AS BIGINT) AS line_id,
+               CAST((wid - 1) % {WPL} AS BIGINT) AS word_id,
+               CAST(sid - 1 AS BIGINT) AS symbol_id,
+               glyph
+        FROM chars
+        """,
+        "ocr_layout": _WORDS_CTE
+        + f"""
+        , lines AS (
+          SELECT doc_id, (wid - 1) // {WPL} AS li,
+                 CAST((wid - 1) // {WPL} // {LPP} AS BIGINT) AS pi,
+                 count(*) AS nw,
+                 SUM(18 * length(w) + 12) - 14 AS width
+          FROM words GROUP BY doc_id, li
+        )
+        SELECT doc_id, pi AS para_id,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(SUM(nw) AS BIGINT) AS n_words,
+               CAST(16 AS BIGINT) AS "left",
+               CAST(16 + pi * 132 AS BIGINT) AS top,
+               CAST(16 + MAX(width) AS BIGINT) AS "right",
+               CAST(16 + MAX(li) * 36 + pi * 24 + 24 AS BIGINT) AS bottom,
+               'flowing_text' AS block_type,
+               'left' AS justification,
+               CAST(0 AS BIGINT) AS first_line_indent
+        FROM lines GROUP BY doc_id, pi
+        """,
+        "multipage_text": _WORDS_CTE
+        + f"""
+        , halves AS (
+          SELECT doc_id, CAST(CEIL(COUNT(*) / 2.0) AS BIGINT) AS half
+          FROM words GROUP BY doc_id
+        ),
+        pages AS (
+          SELECT wt.doc_id,
+                 CASE WHEN wt.wid <= h.half THEN 0 ELSE 1 END AS pg,
+                 string_agg(wt.w, ' ' ORDER BY wt.wid) AS t
+          FROM words wt JOIN halves h ON h.doc_id = wt.doc_id
+          GROUP BY wt.doc_id, pg
+        )
+        SELECT doc_id,
+               string_agg(t || {nl}, chr(12) ORDER BY pg) AS text,
+               CAST(count(*) AS BIGINT) AS n_pages
+        FROM pages GROUP BY doc_id
         """,
         "text_stats": f"""
         SELECT CAST(doc_id AS BIGINT) AS doc_id,

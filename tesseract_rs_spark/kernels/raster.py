@@ -308,6 +308,69 @@ def decode_word(binary: np.ndarray, box, whitelist: set | None) -> tuple:
     return "".join(chars), float(np.mean(confs))
 
 
+def decode_word_choices(
+    binary: np.ndarray, box, whitelist: set | None, k: int = 3
+) -> list:
+    """Per-symbol top-k alternatives, descending confidence — the
+    ChoiceIterator analog (/root/reference/src/choice_iterator.rs:30-71;
+    descending order asserted at tests/test_iterators.rs:736-769).
+    Returns [(symbol_id, glyph, conf, [(alt_glyph, alt_conf), ...])]."""
+    l, t, r, btm, _ = box
+    region = binary[t : t + GLYPH_H, l:r]
+    n_glyphs = max(1, (r - l + 2) // ADVANCE)
+    allowed = [i for i, c in enumerate(CHARSET) if whitelist is None or c in whitelist]
+    if not allowed:
+        return []
+    flat_allowed = _ATLAS_FLAT[allowed]
+    out = []
+    for gi in range(n_glyphs):
+        x0 = gi * ADVANCE
+        cell = np.zeros((GLYPH_H, GLYPH_W), dtype=bool)
+        piece = region[:, x0 : x0 + GLYPH_W]
+        cell[: piece.shape[0], : piece.shape[1]] = piece
+        dists = np.abs(flat_allowed - cell.reshape(-1).astype(np.int16)).sum(axis=1)
+        order = np.argsort(dists, kind="stable")[:k]
+        alts = [
+            (CHARSET[allowed[j]], round(100.0 * (1.0 - dists[j] / cell.size), 4))
+            for j in order
+        ]
+        out.append((gi, alts[0][0], alts[0][1], alts))
+    return out
+
+
+# block-type / paragraph classification (page_iterator.rs:141-148, 224-252)
+BLOCK_FLOWING_TEXT = "flowing_text"
+BLOCK_NOISE = "noise"
+BLOCK_UNKNOWN = "unknown"
+JUSTIFICATION_LEFT = "left"
+JUSTIFICATION_UNKNOWN = "unknown"
+
+
+def classify_block(comps: list) -> str:
+    """Densitometric block classification: glyph-sized components in a
+    regular band -> flowing text; speck-sized -> noise (the PT_* analog,
+    /root/reference/src/enums.rs:72-89 via page_iterator.rs:141-148)."""
+    if not comps:
+        return BLOCK_UNKNOWN
+    heights = [int(c[3]) - int(c[1]) for c in comps]
+    med = sorted(heights)[len(heights) // 2]
+    if med >= GLYPH_H // 2:
+        return BLOCK_FLOWING_TEXT
+    return BLOCK_NOISE
+
+
+def paragraph_info(line_lefts: list) -> tuple:
+    """(justification, is_list_item, first_line_indent) from line left
+    margins within a paragraph (page_iterator.rs:224-252)."""
+    if not line_lefts:
+        return JUSTIFICATION_UNKNOWN, False, 0
+    base = min(line_lefts)
+    aligned = sum(1 for x in line_lefts if x == base)
+    just = JUSTIFICATION_LEFT if aligned >= max(1, len(line_lefts) - 1) else JUSTIFICATION_UNKNOWN
+    indent = line_lefts[0] - base
+    return just, False, indent
+
+
 def osd_orientation(binary: np.ndarray) -> int:
     """Orientation (0/90/180/270) by projection-profile variance: text
     pages have much higher row-profile variance upright than sideways
@@ -317,6 +380,65 @@ def osd_orientation(binary: np.ndarray) -> int:
     rows = binary.sum(axis=1).astype(np.float64)
     cols = binary.sum(axis=0).astype(np.float64)
     return 0 if rows.var() >= cols.var() else 90
+
+
+def _prepare(payload):
+    """decode -> threshold -> label -> segment; shared by the extractors."""
+    img, status = decode_page(payload)
+    if status != STATUS_OK:
+        return None, None, status
+    t = otsu_threshold(img)
+    binary = img <= t
+    _, stats = connected_components(binary)
+    return binary, segment_layout(stats), status
+
+
+def raster_symbols(payload, whitelist: str | None = None, k: int = 3):
+    """Symbol-level decode with per-symbol choice lists — the
+    get_iterator/ChoiceIterator surface.  Returns (status, rows) with rows
+    (para_id, line_id, word_id, symbol_id, glyph, conf, choices)."""
+    binary, layout, status = _prepare(payload)
+    if status != STATUS_OK:
+        return status, []
+    wl = set(whitelist) if whitelist else None
+    rows = []
+    for para_id, line_id, boxes in layout:
+        for word_id, box in enumerate(boxes):
+            for sym_id, glyph, conf, alts in decode_word_choices(binary, box, wl, k):
+                rows.append((para_id, line_id, word_id, sym_id, glyph, conf, alts))
+    return status, rows
+
+
+def raster_layout_blocks(payload):
+    """Paragraph/block-level layout analysis (analyse_layout surface,
+    api.rs:1353-1364): per paragraph (para_id, n_lines, n_words, left, top,
+    right, bottom, block_type, justification, first_line_indent)."""
+    binary, layout, status = _prepare(payload)
+    if status != STATUS_OK:
+        return status, []
+    paras: dict = {}
+    for para_id, line_id, boxes in layout:
+        paras.setdefault(para_id, []).append((line_id, boxes))
+    rows = []
+    for para_id, lines in sorted(paras.items()):
+        all_comps = [g for _, boxes in lines for b in boxes for g in b[4]]
+        lefts = [min(b[0] for b in boxes) for _, boxes in lines]
+        just, _is_list, indent = paragraph_info(lefts)
+        rows.append(
+            (
+                para_id,
+                len(lines),
+                sum(len(boxes) for _, boxes in lines),
+                min(min(b[0] for b in boxes) for _, boxes in lines),
+                min(min(b[1] for b in boxes) for _, boxes in lines),
+                max(max(b[2] for b in boxes) for _, boxes in lines),
+                max(max(b[3] for b in boxes) for _, boxes in lines),
+                classify_block(all_comps),
+                just,
+                indent,
+            )
+        )
+    return status, rows
 
 
 def extract_raster_doc(payload, whitelist: str | None = None) -> RasterResult:

@@ -13,7 +13,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from tesseract_rs_spark.config import ExtractConfig
-from tesseract_rs_spark.kernels.raster import extract_raster_doc
+from tesseract_rs_spark.kernels.raster import (
+    extract_raster_doc,
+    raster_layout_blocks,
+    raster_symbols,
+)
 
 OCR_TEXT_FIELDS = (
     "text string, status string, threshold long, orientation_deg long, "
@@ -59,6 +63,90 @@ def ocr_text(
             out["n_words"] = pd.array([len(r.words) for r in results], dtype="int64")
             out["mean_conf"] = pd.array([r.mean_conf for r in results], dtype="int64")
             yield pd.DataFrame(out)
+
+    return pages.select(*id_cols, payload_col).mapInPandas(gen, schema=schema)
+
+
+OCR_SYMBOL_FIELDS = (
+    "para_id long, line_id long, word_id long, symbol_id long, glyph string, "
+    "conf double, choices array<struct<glyph: string, conf: double>>"
+)
+OCR_LAYOUT_FIELDS = (
+    "para_id long, n_lines long, n_words long, left long, top long, "
+    "right long, bottom long, block_type string, justification string, "
+    "first_line_indent long"
+)
+
+
+def ocr_symbols(
+    pages: DataFrame,
+    cfg: ExtractConfig | None = None,
+    id_cols: Sequence[str] = ("url",),
+    payload_col: str = "html",
+    k: int = 3,
+) -> DataFrame:
+    """Symbol-level rows with descending-confidence choice lists
+    (/root/reference/src/choice_iterator.rs:30-71)."""
+    cfg = cfg or ExtractConfig()
+    wl = cfg.char_whitelist
+    schema = _id_schema(pages, id_cols) + ", " + OCR_SYMBOL_FIELDS
+    id_cols = tuple(id_cols)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            recs: list = []
+            for row in pdf.itertuples(index=False):
+                _, rows = raster_symbols(getattr(row, payload_col), wl, k)
+                base = tuple(getattr(row, c) for c in id_cols)
+                for para, line, word, sym, glyph, conf, alts in rows:
+                    recs.append(
+                        base
+                        + (
+                            para,
+                            line,
+                            word,
+                            sym,
+                            glyph,
+                            conf,
+                            [{"glyph": g, "conf": c} for g, c in alts],
+                        )
+                    )
+            cols = list(id_cols) + [
+                "para_id", "line_id", "word_id", "symbol_id", "glyph", "conf", "choices",
+            ]
+            yield pd.DataFrame(recs, columns=cols)
+
+    return pages.select(*id_cols, payload_col).mapInPandas(gen, schema=schema)
+
+
+def ocr_layout(
+    pages: DataFrame,
+    id_cols: Sequence[str] = ("url",),
+    payload_col: str = "html",
+) -> DataFrame:
+    """Paragraph-level layout analysis without recognition — the
+    analyse_layout / init_for_analyse_page surface
+    (/root/reference/src/api.rs:1353-1364, 774-781)."""
+    schema = _id_schema(pages, id_cols) + ", " + OCR_LAYOUT_FIELDS
+    id_cols = tuple(id_cols)
+    names = [
+        "para_id", "n_lines", "n_words", "left", "top", "right", "bottom",
+        "block_type", "justification", "first_line_indent",
+    ]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            recs: list = []
+            for row in pdf.itertuples(index=False):
+                _, rows = raster_layout_blocks(getattr(row, payload_col))
+                base = tuple(getattr(row, c) for c in id_cols)
+                for r in rows:
+                    recs.append(base + tuple(r))
+            yield pd.DataFrame(recs, columns=list(id_cols) + names)
 
     return pages.select(*id_cols, payload_col).mapInPandas(gen, schema=schema)
 

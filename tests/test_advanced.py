@@ -1,0 +1,158 @@
+"""Multi-page lifecycle, choice iterators, streaming, and multimodal
+plumbing tests."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from tesseract_rs_spark.config import ExtractConfig
+from tesseract_rs_spark.corpus import render_html
+from tesseract_rs_spark.functions.multimodal import (
+    decode_media,
+    extract_features,
+    make_media_corpus,
+    sample_frames,
+)
+from tesseract_rs_spark.kernels.raster import raster_symbols, render_page
+from tesseract_rs_spark.operators.multipage import process_pages
+from tesseract_rs_spark.operators.ocr import ocr_layout, ocr_symbols
+from tesseract_rs_spark.streaming.incremental import stream_extract
+
+
+class TestMultiPage:
+    """process_pages semantics (/root/reference/src/api.rs:844-875):
+    page loop + '\\f' separator + retry of failed pages."""
+
+    def test_pages_joined_in_order(self, spark):
+        rows = [
+            ("d1", 1, render_html("second page words here now", 1).encode()),
+            ("d1", 0, render_html("first page words here now", 2).encode()),
+        ]
+        pages = spark.createDataFrame(rows, "url string, page_num int, html binary")
+        out = process_pages(pages).collect()[0]
+        assert out["text"] == (
+            "first page words here now\n\fsecond page words here now\n"
+        )
+        assert out["n_pages"] == 2 and out["n_failed_pages"] == 0
+
+    def test_retry_pass_recovers(self, spark):
+        # a page that fails under a narrow ROI succeeds under the fallback
+        good = render_html("recoverable page words here now", 3).encode()
+        rows = [("d1", 0, good)]
+        pages = spark.createDataFrame(rows, "url string, page_num int, html binary")
+        broken_cfg = ExtractConfig(roi_start=10**9)  # ROI past EOF -> not_html
+        out = process_pages(pages, cfg=broken_cfg, retry_cfg=ExtractConfig()).collect()[0]
+        assert out["n_failed_pages"] == 0
+        assert "recoverable" in out["text"]
+
+    def test_failed_page_counted_not_fatal(self, spark):
+        rows = [
+            ("d1", 0, render_html("good page words here now", 4).encode()),
+            ("d1", 1, b"\xff\xfe broken"),
+        ]
+        pages = spark.createDataFrame(rows, "url string, page_num int, html binary")
+        out = process_pages(pages).collect()[0]
+        assert out["n_failed_pages"] == 1 and out["n_pages"] == 2
+
+
+class TestChoices:
+    def test_choices_descending_and_best_first(self):
+        # choice confidences descend (tests/test_iterators.rs:736-769)
+        _, rows = raster_symbols(render_page("ab"), k=3)
+        assert rows, "symbols expected"
+        for _p, _l, _w, _s, glyph, conf, alts in rows:
+            assert alts[0][0] == glyph and alts[0][1] == conf
+            confs = [c for _g, c in alts]
+            assert confs == sorted(confs, reverse=True)
+            assert len(alts) == 3
+
+    def test_symbols_whitelist(self):
+        _, rows = raster_symbols(render_page("a1"), whitelist="01")
+        glyphs = {r[4] for r in rows}
+        assert glyphs <= {"0", "1"}
+
+
+class TestLayoutOp:
+    def test_layout_matches_geometry(self, spark):
+        pages = spark.createDataFrame(
+            [("u", render_page("aa bb cc dd ee ff gg hh ii jj", 4, 1))],
+            "url string, html binary",
+        )
+        rows = ocr_layout(pages).sort("para_id").collect()
+        assert len(rows) == 3  # 10 words / 4 per line -> 3 lines, 1 per para
+        assert all(r["block_type"] == "flowing_text" for r in rows)
+        assert all(r["justification"] == "left" for r in rows)
+        assert rows[0]["left"] == 16 and rows[0]["top"] == 16
+
+
+class TestStreaming:
+    def test_incremental_extract_exactly_once(self, spark, tmp_path):
+        from tesseract_rs_spark.corpus import make_corpus
+
+        inp, out, ckpt = (
+            str(tmp_path / "in"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )
+        pages, golden = make_corpus("smoke")
+        first, second = pages.iloc[:40], pages.iloc[40:]
+        spark.createDataFrame(first).write.parquet(inp)
+        q = stream_extract(spark, inp, out, ckpt)
+        q.awaitTermination(120)
+        n1 = spark.read.parquet(out).count()
+        assert n1 == 40
+        # new files arrive -> re-run processes ONLY the delta
+        spark.createDataFrame(second).write.mode("append").parquet(inp)
+        q2 = stream_extract(spark, inp, out, ckpt)
+        q2.awaitTermination(120)
+        result = spark.read.parquet(out)
+        assert result.count() == 64  # no duplicates: offsets committed
+        ok = result.filter("status = 'ok'").count()
+        assert ok == len(golden[golden.expected_status == "ok"])
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        df = spark.createDataFrame(make_media_corpus(64))
+        df.cache().count()
+        return df
+
+    def test_decode_header_plumbing(self, spark, media):
+        decoded = decode_media(media)
+        rows = decoded.collect()
+        assert len(rows) == 64
+        assert all(r["status"] == "ok" for r in rows)
+        meta = {r["media_id"]: r for r in media.select("media_id", "meta.*").collect()}
+        for r in rows:
+            assert r["width"] == meta[r["media_id"]]["width"]
+            assert r["n_frames"] == meta[r["media_id"]]["n_frames"]
+
+    def test_unsupported_codec_status(self, spark):
+        bad = spark.createDataFrame(
+            [(99, "image", b"JPEGnotreally", None)],
+            "media_id long, kind string, payload binary, "
+            "meta struct<width:int,height:int,sample_rate:int,duration_ms:int,n_frames:int>",
+        )
+        r = decode_media(bad).collect()[0]
+        assert r["status"] == "unsupported_codec"
+
+    def test_features_deterministic_unit_norm(self, spark, media):
+        import numpy as np
+
+        f1 = extract_features(media).toPandas().sort_values("media_id")
+        f2 = extract_features(media).toPandas().sort_values("media_id")
+        assert all(list(a) == list(b) for a, b in zip(f1["features"], f2["features"]))
+        for v in f1["features"]:
+            assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+            assert len(v) == 16
+
+    def test_frame_sampling(self, spark, media):
+        frames = sample_frames(media, every_k=30)
+        j = frames.join(media.select("media_id", "meta.n_frames"), "media_id")
+        bad = j.filter(
+            (F.col("frame_idx") < 0) | (F.col("frame_idx") >= F.greatest(F.col("n_frames"), F.lit(1)))
+        ).count()
+        assert bad == 0
+        # last frame always sampled
+        last = j.groupBy("media_id", "n_frames").agg(F.max("frame_idx").alias("mx"))
+        assert last.filter(F.col("mx") != F.greatest(F.col("n_frames") - 1, F.lit(0))).count() == 0
