@@ -95,6 +95,29 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def word_is_numeric(col: str = "word") -> Column:
+    """All-digit word predicate (word_is_numeric,
+    /root/reference/src/result_iterator.rs:158-164)."""
+    return F.col(col).rlike("^[0-9]+$")
+
+
+def word_in_dictionary(
+    words: DataFrame, wordlist, col: str = "word"
+) -> DataFrame:
+    """is_valid_word / word_is_from_dictionary analog
+    (/root/reference/src/api.rs:1003-1010, result_iterator.rs:145-151):
+    adds ``in_dictionary`` boolean.  Small lists inline as an ``isin``
+    literal (constant-folded by Catalyst); large lists broadcast-join so
+    the dictionary ships once per executor, never per row."""
+    wordlist = list(wordlist)
+    if len(wordlist) <= 1024:
+        return words.withColumn("in_dictionary", F.col(col).isin(wordlist))
+    spark = words.sparkSession
+    dict_df = spark.createDataFrame([(w,) for w in wordlist], f"{col} string")
+    flagged = F.broadcast(dict_df.withColumn("in_dictionary", F.lit(True)))
+    return words.join(flagged, col, "left").fillna(False, ["in_dictionary"])
+
+
 def word_shingles(col: str = "text", n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array column (JVM-side
     ``transform``/``slice`` — no UDF)."""

@@ -379,7 +379,10 @@ def osd_orientation(binary: np.ndarray) -> int:
     enums.rs:126-134)."""
     rows = binary.sum(axis=1).astype(np.float64)
     cols = binary.sum(axis=0).astype(np.float64)
-    return 0 if rows.var() >= cols.var() else 90
+    # require a clear margin before claiming sideways: near-square content
+    # (single glyphs) gives no signal and must default PAGE_UP, mirroring
+    # the reference's default-on-ambiguity (enums.rs:126-134)
+    return 90 if cols.var() > 2.0 * rows.var() else 0
 
 
 def _prepare(payload):
@@ -441,6 +444,25 @@ def raster_layout_blocks(payload):
     return status, rows
 
 
+def thresholded_image(payload) -> tuple:
+    """get_thresholded_image analog (/root/reference/src/api.rs:445-456):
+    (status, threshold, scale_factor, width, height, packed_bits) — the
+    binarized page as row-major packed bits (BinaryType debug column)."""
+    img, status = decode_page(payload)
+    if status != STATUS_OK:
+        return status, -1, 0, 0, 0, b""
+    t = otsu_threshold(img)
+    binary = img <= t
+    return (
+        STATUS_OK,
+        t,
+        1,  # no pre-threshold downscale (api.rs:825-831 scale factor)
+        img.shape[1],
+        img.shape[0],
+        np.packbits(binary, axis=1).tobytes(),
+    )
+
+
 def extract_raster_doc(payload, whitelist: str | None = None) -> RasterResult:
     img, status = decode_page(payload)
     if status != STATUS_OK:
@@ -448,6 +470,12 @@ def extract_raster_doc(payload, whitelist: str | None = None) -> RasterResult:
         return RasterResult(status, "", [], -1, 0, 0, 0, [(0, n)])
     t = otsu_threshold(img)
     binary = img <= t
+    # OSD auto-rotation: sideways pages are rotated upright before layout
+    # analysis (detect_os -> orientation, api.rs:599-629; the reference's
+    # AUTO_OSD PSM path).  The reported orientation is the DETECTED one.
+    detected_orientation = osd_orientation(binary)
+    if detected_orientation == 90:
+        binary = np.rot90(binary, k=-1)
     n_comp, stats = connected_components(binary)
     layout = segment_layout(stats)
     wl = set(whitelist) if whitelist else None
@@ -485,7 +513,7 @@ def extract_raster_doc(payload, whitelist: str | None = None) -> RasterResult:
     confs = [w[5] for w in words]
     mean_conf = int(round(float(np.mean(confs)))) if confs else 0
     return RasterResult(
-        STATUS_OK, text, words, t, osd_orientation(binary), n_comp, mean_conf, []
+        STATUS_OK, text, words, t, detected_orientation, n_comp, mean_conf, []
     )
 
 

@@ -17,6 +17,7 @@ from tesseract_rs_spark.kernels.raster import (
     extract_raster_doc,
     raster_layout_blocks,
     raster_symbols,
+    thresholded_image,
 )
 
 OCR_TEXT_FIELDS = (
@@ -147,6 +148,37 @@ def ocr_layout(
                 for r in rows:
                     recs.append(base + tuple(r))
             yield pd.DataFrame(recs, columns=list(id_cols) + names)
+
+    return pages.select(*id_cols, payload_col).mapInPandas(gen, schema=schema)
+
+
+def ocr_thresholded(
+    pages: DataFrame,
+    id_cols: Sequence[str] = ("url",),
+    payload_col: str = "html",
+) -> DataFrame:
+    """Binarized-page debug surface (get_thresholded_image +
+    scale factor, /root/reference/src/api.rs:445-456, 825-831):
+    (ids..., status, threshold, scale_factor, width, height, bits)."""
+    schema = _id_schema(pages, id_cols) + (
+        ", status string, threshold long, scale_factor long, "
+        "width long, height long, bits binary"
+    )
+    id_cols = tuple(id_cols)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            res = [thresholded_image(p) for p in pdf[payload_col]]
+            out = {c: pdf[c].to_numpy() for c in id_cols}
+            out["status"] = [r[0] for r in res]
+            out["threshold"] = pd.array([r[1] for r in res], dtype="int64")
+            out["scale_factor"] = pd.array([r[2] for r in res], dtype="int64")
+            out["width"] = pd.array([r[3] for r in res], dtype="int64")
+            out["height"] = pd.array([r[4] for r in res], dtype="int64")
+            out["bits"] = [r[5] for r in res]
+            yield pd.DataFrame(out)
 
     return pages.select(*id_cols, payload_col).mapInPandas(gen, schema=schema)
 

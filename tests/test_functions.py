@@ -102,6 +102,33 @@ def test_cosine_topk_self_excluded_and_ranked(emb):
     assert all(r["count"] == 5 for r in counts)
 
 
+def test_word_predicates(spark):
+    from tesseract_rs_spark.functions.text import word_in_dictionary, word_is_numeric
+
+    words = spark.createDataFrame(
+        [("hello",), ("42",), ("xyzzyplugh",)], "word string"
+    )
+    # dictionary membership (is_valid_word: "hello" true, "xyzzyplugh"
+    # false — /root/reference/tests/test_api.rs:376-386)
+    res = {
+        r["word"]: r["in_dictionary"]
+        for r in word_in_dictionary(words, ["hello", "world"]).collect()
+    }
+    assert res["hello"] is True and res["xyzzyplugh"] is False
+    # large-list path (broadcast join)
+    big = ["w%d" % i for i in range(2000)] + ["hello"]
+    res2 = {
+        r["word"]: r["in_dictionary"]
+        for r in word_in_dictionary(words, big).collect()
+    }
+    assert res2["hello"] is True and res2["42"] is False
+    nums = {
+        r["word"]: r["n"]
+        for r in words.select("word", word_is_numeric().alias("n")).collect()
+    }
+    assert nums["42"] is True and nums["hello"] is False
+
+
 def test_quality_and_lang_domains(docs):
     q = quality_score(docs)
     assert q.filter((F.col("quality") < 0) | (F.col("quality") > 100)).count() == 0

@@ -132,3 +132,28 @@ class TestGolden:
         a = extract_raster_doc(render_page(TEXT))
         b = extract_raster_doc(render_page(TEXT))
         assert a.text == b.text and a.threshold == b.threshold
+
+    def test_auto_rotation_recovers_sideways_page(self):
+        """AUTO_OSD analog: a 90°-rotated page is detected and decoded."""
+        from tesseract_rs_spark.kernels.raster import MAGIC as M
+
+        page = render_page("rotated page words here")
+        img, _ = decode_page(page)
+        rot = np.rot90(img, k=1).copy()  # rotate page 90° CCW (text reads up)
+        h, w = rot.shape
+        payload = struct.pack("<Iiiii", M, w, h, 1, w) + rot.tobytes()
+        r = extract_raster_doc(payload)
+        assert r.orientation_deg == 90
+        assert r.text == golden_raster_text("rotated page words here")
+
+    def test_thresholded_image_surface(self):
+        from tesseract_rs_spark.kernels.raster import thresholded_image
+
+        page = render_page("ab")
+        status, t, scale, w, h, bits = thresholded_image(page)
+        assert status == "ok" and scale == 1 and t >= 40
+        unpacked = np.unpackbits(
+            np.frombuffer(bits, dtype=np.uint8).reshape(h, -1), axis=1
+        )[:, :w].astype(bool)
+        img, _ = decode_page(page)
+        assert np.array_equal(unpacked, img <= t)
