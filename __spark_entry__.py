@@ -24,6 +24,15 @@ from tesseract_rs_spark.functions.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from tesseract_rs_spark.functions.events import (
+    extract_props,
+    sessionize,
+    tumbling_counts,
+)
+from tesseract_rs_spark.functions.relational import (
+    pricing_summary,
+    top_orders_by_quantity,
+)
 from tesseract_rs_spark.functions.similarity import ann_lsh_topk, cosine_topk
 from tesseract_rs_spark.functions.text import (
     fingerprint,
@@ -276,6 +285,38 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "event_id", F.col("event_id").cast("long")
+    )
+
+
+def _q_events_tumbling(spark, sf_dir):
+    return tumbling_counts(_events(spark, sf_dir))
+
+
+def _q_events_sessionize(spark, sf_dir):
+    return sessionize(_events(spark, sf_dir)).withColumn(
+        "user_id", F.col("user_id").cast("long")
+    )
+
+
+def _q_events_props(spark, sf_dir):
+    return extract_props(_events(spark, sf_dir))
+
+
+def _q_rel_pricing_summary(spark, sf_dir):
+    return pricing_summary(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def _q_rel_top_orders(spark, sf_dir):
+    return top_orders_by_quantity(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text": _q_extract_text,
@@ -304,6 +345,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "events_tumbling": _q_events_tumbling,
+        "events_sessionize": _q_events_sessionize,
+        "events_props": _q_events_props,
+        "rel_pricing_summary": _q_rel_pricing_summary,
+        "rel_top_orders": _q_rel_top_orders,
     }
 
 
@@ -601,4 +647,69 @@ def oracle_sql() -> dict[str, str]:
         # dedup_minhash_lsh / simhash / ann_lsh_topk: seed-deterministic but
         # not SQL-expressible -> rows-only check; their quality is asserted
         # against exact baselines in tests/test_functions.py
+        "events_tumbling": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+               event_type,
+               count(*) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": f"""
+        WITH gaps AS (
+          SELECT CAST(user_id AS BIGINT) AS user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR CAST(floor(epoch(ts)) AS BIGINT)
+                         - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        marked AS (
+          SELECT user_id, event_id,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM gaps
+        ),
+        per_session AS (
+          SELECT user_id, session_id, count(*) AS n_events
+          FROM marked GROUP BY 1, 2
+        )
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               CAST(MAX(n_events) AS BIGINT) AS max_session_events
+        FROM per_session GROUP BY user_id
+        """,
+        "events_props": """
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+        """,
+        "rel_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_base_cents,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY 1, 2
+        """,
+        "rel_top_orders": """
+        WITH seg AS (
+          SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        ),
+        o AS (
+          SELECT o_orderkey, o_orderdate FROM orders
+          JOIN seg ON o_custkey = c_custkey
+        ),
+        agg AS (
+          SELECT CAST(l.l_orderkey AS BIGINT) AS o_orderkey,
+                 CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
+                 CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+                 count(*) AS n_items
+          FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1, 2
+        )
+        SELECT * FROM agg ORDER BY total_qty DESC, o_orderkey ASC LIMIT 10
+        """,
     }

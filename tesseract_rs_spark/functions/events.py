@@ -1,0 +1,66 @@
+"""Event-stream analytics over the ``events`` table — the windowed /
+stateful operator family (SURVEY.md §2.7: absent in the reference, core
+Spark capability in this engine).
+
+All pure JVM expressions: tumbling windows (``F.window``), gap-based
+sessionization (lag + running sum over a Window — the classic pattern),
+and JSON property extraction.  Each has an exact SQL twin for the oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+SESSION_GAP_S = 1800  # 30 min
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """Per (hour, event_type): event count and summed value (cents-exact).
+    (hour string, event_type, n, value_cents)."""
+    return (
+        events.groupBy(
+            F.date_format(
+                F.window("ts", "1 hour").start, "yyyy-MM-dd HH"
+            ).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the time
+    since the previous event exceeds ``gap_s``.  Returns per user
+    (user_id, n_sessions, n_events, max_session_events)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet timestamps may arrive as TIMESTAMP_NTZ -> epoch via
+    # an explicit timestamp cast (session tz is pinned to UTC)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    marked = events.withColumn(
+        "_new", F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
+    )
+    sess = marked.withColumn(
+        "_session", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_session = sess.groupBy("user_id", "_session").agg(
+        F.count("*").alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+def extract_props(events: DataFrame) -> DataFrame:
+    """JSON property extraction: (event_id, k) — ``get_json_object`` stays
+    in the JVM (no Python json.loads per row)."""
+    return events.select(
+        F.col("event_id").cast("long"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )

@@ -110,7 +110,7 @@ STATUS_UTF8 = "utf8_error"
 STATUS_NOT_HTML = "not_html"
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     """One segmented block (RIL_BLOCK analog) before/after classification."""
 
@@ -132,7 +132,7 @@ class Block:
     score: float = CONF_DROPPED
 
 
-@dataclass
+@dataclass(slots=True)
 class DocResult:
     """Extraction result for one document."""
 
@@ -171,81 +171,90 @@ def _finalize_block(block: Block, preserve_spaces: bool) -> None:
 
 def _segment(doc: str, cfg: ExtractConfig) -> list:
     """Single-pass tokenize + block segmentation.  Returns all non-empty
-    blocks in source order with ancestry flags captured at open time."""
+    blocks in source order with ancestry flags captured at flush time
+    (flush always precedes the depth change, so flags are exact).
+
+    Hot path: one regex pass + one Python branch per token; Block objects
+    are allocated only for blocks that actually carry text."""
     blocks: list = []
-    cur = Block(tag="body", src_start=0, src_end=0)
-    # ancestry counters (stack depths)
-    depth = {"hard": 0, "content": 0, "neg": 0, "pos": 0, "a": 0}
     tag_stack: list = []  # (tag, hard, content, neg, pos)
     pos = 0
     raw_mode = cfg.mode == MODE_RAW
     single = cfg.mode == MODE_SINGLE_BLOCK
+    # ancestry depth counters as locals (faster than dict/attr access)
+    d_hard = d_content = d_neg = d_pos = d_a = 0
+    cur_tag = "body"
+    cur: Block | None = None  # allocated lazily on first text
+
+    block_tags = _BLOCK_TAGS
+    hard_tags = _HARD_BOILERPLATE_TAGS
+    content_tags = _CONTENT_TAGS
 
     def flush(end: int) -> None:
         nonlocal cur
-        if cur.parts:
+        if cur is not None:
             cur.src_end = end
-            cur.in_hard_boiler = depth["hard"] > 0
-            cur.in_content = depth["content"] > 0
-            cur.in_negative = depth["neg"] > 0
-            cur.in_positive = depth["pos"] > 0
+            cur.in_hard_boiler = d_hard > 0
+            cur.in_content = d_content > 0
+            cur.in_negative = d_neg > 0
+            cur.in_positive = d_pos > 0
             blocks.append(cur)
-        cur = Block(tag=cur.tag, src_start=end, src_end=end)
+            cur = None
 
     for m in _TOKEN_RE.finditer(doc):
         start = m.start()
         if start > pos:
             text = doc[pos:start]
-            if text and not text.isspace():
-                if not cur.parts:
-                    cur.src_start = pos
-                    # snapshot ancestry at first text
-                    cur.in_hard_boiler = depth["hard"] > 0
-                    cur.in_content = depth["content"] > 0
-                    cur.in_negative = depth["neg"] > 0
-                    cur.in_positive = depth["pos"] > 0
+            if not text.isspace():
+                if cur is None:
+                    cur = Block(tag=cur_tag, src_start=pos, src_end=pos)
                 if "\x00" in text:
                     text = text.replace("\x00", " ")
                 cur.parts.append(text)
                 n = len(text)
                 cur.total_chars += n
-                if depth["a"] > 0:
+                if d_a > 0:
                     cur.anchor_chars += n
                 if raw_mode:
                     cur.parts.append("\x00")
-            elif text and cur.parts:
+            elif cur is not None:
                 cur.parts.append(" ")
         pos = m.end()
-        tag = m.group("tag")
+        close_g, tag, attrs = m.group("close", "tag", "attrs")
         if tag is None:
             continue  # comment / doctype / raw-text element
         tag = tag.lower()
-        closing = m.group("close") == "/"
+        closing = close_g == "/"
         if tag == "br" and not closing:
+            if cur is None:
+                cur = Block(tag=cur_tag, src_start=pos, src_end=pos)
             cur.parts.append("\x00")
             continue
         if single or raw_mode:
             # no layout analysis: only <br>/text matter
             if tag == "a":
-                depth["a"] += -1 if closing and depth["a"] > 0 else (0 if closing else 1)
+                if closing:
+                    if d_a > 0:
+                        d_a -= 1
+                else:
+                    d_a += 1
             continue
         if tag == "a":
             if closing:
-                if depth["a"] > 0:
-                    depth["a"] -= 1
+                if d_a > 0:
+                    d_a -= 1
             else:
-                depth["a"] += 1
+                d_a += 1
             continue
-        if tag in _BLOCK_TAGS:
+        if tag in block_tags:
             flush(start)
             if tag in _VOID_TAGS:
                 continue
-            attrs = m.group("attrs") or ""
             if not closing:
-                hard = tag in _HARD_BOILERPLATE_TAGS
-                content = tag in _CONTENT_TAGS
+                hard = tag in hard_tags
+                content = tag in content_tags
                 neg = pos_ = False
-                if attrs and ("class" in attrs.lower() or "id" in attrs.lower()):
+                if attrs and ("class" in attrs or "id" in attrs or "Id" in attrs or "ID" in attrs or "Class" in attrs or "CLASS" in attrs):
                     for am in _CLASS_ID_RE.finditer(attrs):
                         val = am.group(2) or am.group(3) or am.group(4) or ""
                         if _NEGATIVE_CLASS_RE.search(val):
@@ -253,28 +262,28 @@ def _segment(doc: str, cfg: ExtractConfig) -> list:
                         elif _POSITIVE_CLASS_RE.search(val):
                             pos_ = True
                 tag_stack.append((tag, hard, content, neg, pos_))
-                depth["hard"] += hard
-                depth["content"] += content
-                depth["neg"] += neg
-                depth["pos"] += pos_
-                cur.tag = tag
+                d_hard += hard
+                d_content += content
+                d_neg += neg
+                d_pos += pos_
+                cur_tag = tag
             else:
                 # pop to matching open tag (forgiving of misnesting)
                 for i in range(len(tag_stack) - 1, -1, -1):
                     if tag_stack[i][0] == tag:
                         for j in range(len(tag_stack) - 1, i - 1, -1):
                             _, h, c, n_, p_ = tag_stack.pop(j)
-                            depth["hard"] -= h
-                            depth["content"] -= c
-                            depth["neg"] -= n_
-                            depth["pos"] -= p_
+                            d_hard -= h
+                            d_content -= c
+                            d_neg -= n_
+                            d_pos -= p_
                         break
-                cur.tag = tag_stack[-1][0] if tag_stack else "body"
+                cur_tag = tag_stack[-1][0] if tag_stack else "body"
     if pos < len(doc):
         text = doc[pos:]
-        if text and not text.isspace():
-            if not cur.parts:
-                cur.src_start = pos
+        if not text.isspace():
+            if cur is None:
+                cur = Block(tag=cur_tag, src_start=pos, src_end=pos)
             cur.parts.append(text)
             cur.total_chars += len(text)
     flush(len(doc))
