@@ -644,9 +644,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
         FROM ranked WHERE rank <= 5
         """,
-        # dedup_minhash_lsh / simhash / ann_lsh_topk: seed-deterministic but
-        # not SQL-expressible -> rows-only check; their quality is asserted
+        # dedup_minhash_lsh / ann_lsh_topk: seed-deterministic but not
+        # SQL-expressible -> rows-only check; their quality is asserted
         # against exact baselines in tests/test_functions.py
+        "simhash": _WORDS_CTE
+        + """
+        , sh AS (
+          SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+          FROM words a
+          JOIN words b ON a.doc_id = b.doc_id AND b.wid = a.wid + 1
+          JOIN words c ON a.doc_id = c.doc_id AND c.wid = a.wid + 2
+        ),
+        counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        bits AS (
+          -- bit b of the 60-bit prefix of md5(shingle), MSB-first per
+          -- nibble (matches numpy unpackbits of digest()[:8])
+          SELECT sh.doc_id, gs.b AS b,
+                 ((strpos('0123456789abcdef',
+                          substr(md5(sh.s), (gs.b // 4) + 1, 1)) - 1)
+                  >> (3 - (gs.b % 4))) & 1 AS bit
+          FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) gs
+        ),
+        votes AS (SELECT doc_id, b, SUM(bit) AS ones FROM bits GROUP BY doc_id, b)
+        SELECT v.doc_id,
+               CAST(SUM(CASE WHEN 2 * v.ones - c.n > 0
+                        THEN CAST(1 AS BIGINT) << (59 - v.b) ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM votes v JOIN counts c ON c.doc_id = v.doc_id
+        GROUP BY v.doc_id
+        """,
         "events_tumbling": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
                event_type,

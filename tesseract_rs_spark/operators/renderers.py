@@ -76,6 +76,29 @@ def render_hocr(words: DataFrame, key: str = "url") -> DataFrame:
     )
 
 
+def render_hocr_bbox(words: DataFrame, key: str = "url") -> DataFrame:
+    """hOCR with real pixel bounding boxes (raster-path variant over
+    ``ocr_words`` output): ``title='bbox l t r b; x_wconf c'`` — the
+    reference's hOCR geometry payload (tests/test_e2e.rs:46)."""
+    word_span = F.format_string(
+        "<span class='ocrx_word' title='bbox %d %d %d %d; x_wconf %d'>%s</span>",
+        F.col("left"),
+        F.col("top"),
+        F.col("right"),
+        F.col("bottom"),
+        F.col("conf").cast("long"),
+        F.col("word"),
+    )
+    per_doc = _ordered_doc_concat(words, key, word_span, sep=" ")
+    return per_doc.select(
+        key,
+        F.format_string(
+            "<div class='ocr_page' id='page_1'><p class='ocr_par'>%s</p></div>",
+            F.col("text"),
+        ).alias("hocr"),
+    )
+
+
 def render_box(words: DataFrame, key: str = "url") -> DataFrame:
     """Box-format renderer (get_box_text analog,
     /root/reference/src/api.rs:467-480: per-symbol "char l b r t page";

@@ -1,0 +1,67 @@
+"""Property-based robustness: at 10^12-document scale every byte pattern
+eventually arrives.  The kernels must NEVER raise and must be
+deterministic on arbitrary input — errors are status rows
+(/root/reference error model, src/error.rs:6-41; recovery behavior
+tests/test_e2e.rs:262-289)."""
+
+from hypothesis import given, settings, strategies as st
+
+from tesseract_rs_spark.config import (
+    MODE_AUTO,
+    MODE_RAW,
+    MODE_SINGLE_BLOCK,
+    ExtractConfig,
+)
+from tesseract_rs_spark.kernels.html import extract_doc, word_rows
+from tesseract_rs_spark.kernels.raster import extract_raster_doc
+
+VALID_STATUSES = {"ok", "empty_input", "utf8_error", "not_html"}
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=4096))
+def test_html_kernel_never_raises(payload):
+    r = extract_doc(payload, ExtractConfig())
+    assert r.status in VALID_STATUSES
+    r2 = extract_doc(payload, ExtractConfig())
+    assert r2.text == r.text and r2.status == r.status
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=2048), st.sampled_from([MODE_AUTO, MODE_SINGLE_BLOCK, MODE_RAW]))
+def test_html_kernel_tag_soup(text, mode):
+    """Arbitrary unicode tag soup: no exception, and the id hierarchy of
+    word rows is always well-formed."""
+    r = extract_doc(text.encode("utf-8"), ExtractConfig(mode=mode))
+    assert r.status in VALID_STATUSES
+    for b, p, l, w, word, conf, s, e in word_rows(r):
+        assert b >= 0 and l >= 0 and w >= 0
+        assert 0.0 <= conf <= 100.0
+        assert word != ""
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=2048))
+def test_raster_kernel_never_raises(payload):
+    r = extract_raster_doc(payload)
+    assert isinstance(r.status, str) and r.status
+    r2 = extract_raster_doc(payload)
+    assert r2.text == r.text and r2.status == r.status
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=64),
+    st.integers(min_value=1, max_value=64),
+    st.binary(min_size=0, max_size=8192),
+)
+def test_raster_valid_header_arbitrary_payload(w, h, body):
+    """A structurally valid header with arbitrary pixel content must parse
+    (or fail with a length status) but never raise."""
+    import struct
+
+    from tesseract_rs_spark.kernels.raster import MAGIC
+
+    page = struct.pack("<Iiiii", MAGIC, w, h, 1, w) + body
+    r = extract_raster_doc(page)
+    assert r.status in {"ok", "invalid_image_data"}

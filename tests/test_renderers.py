@@ -76,6 +76,18 @@ def test_unlv_equals_assembly_without_line_breaks(spark, words):
     assert mismatch == 0
 
 
+def test_hocr_bbox_variant(spark):
+    from tesseract_rs_spark.kernels.raster import render_page
+    from tesseract_rs_spark.operators.ocr import ocr_words
+    from tesseract_rs_spark.operators.renderers import render_hocr_bbox
+
+    pages = spark.createDataFrame(
+        [("u", render_page("ab cd"))], "url string, html binary"
+    )
+    h = render_hocr_bbox(ocr_words(pages)).collect()[0]["hocr"]
+    assert "title='bbox 16 16 50 40; x_wconf 100'>ab</span>" in h
+
+
 def test_spans_present_and_ordered(words):
     bad = words.filter(
         (F.col("span_start") < 0) | (F.col("span_end") <= F.col("span_start"))
