@@ -33,7 +33,11 @@ from tesseract_rs_spark.functions.relational import (
     pricing_summary,
     top_orders_by_quantity,
 )
-from tesseract_rs_spark.functions.similarity import ann_lsh_topk, cosine_topk
+from tesseract_rs_spark.functions.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    embedding_dup_pairs,
+)
 from tesseract_rs_spark.functions.text import (
     fingerprint,
     lang_id,
@@ -291,6 +295,18 @@ def _events(spark, sf_dir):
     )
 
 
+def _q_token_count_bpe(spark, sf_dir):
+    from tesseract_rs_spark.functions.text import token_count_bpe
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", token_count_bpe().alias("n_bpe_tokens")
+    )
+
+
+def _q_dedup_embedding(spark, sf_dir):
+    return embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.45)
+
+
 def _q_events_tumbling(spark, sf_dir):
     return tumbling_counts(_events(spark, sf_dir))
 
@@ -345,6 +361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "token_count_bpe": _q_token_count_bpe,
+        "dedup_embedding": _q_dedup_embedding,
         "events_tumbling": _q_events_tumbling,
         "events_sessionize": _q_events_sessionize,
         "events_props": _q_events_props,
@@ -672,6 +690,23 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS simhash
         FROM votes v JOIN counts c ON c.doc_id = v.doc_id
         GROUP BY v.doc_id
+        """,
+        "token_count_bpe": """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                    AS BIGINT) AS n_bpe_tokens
+        FROM documents
+        """,
+        "dedup_embedding": """
+        WITH e AS (
+          SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a, e b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.v, b.v) >= 0.45
         """,
         "events_tumbling": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,

@@ -69,6 +69,34 @@ def cosine_topk(
     )
 
 
+def embedding_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b) with cosine >=
+    threshold, id_a < id_b.  Exact all-pairs — the verification primitive;
+    at corpus scale candidates come from the LSH tables first (same
+    pattern as MinHash dedup: probabilistic candidates, exact verify)."""
+    a = corpus.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_av"),
+        _norm(F.col(vec_col)).alias("_an"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_bv"),
+        _norm(F.col(vec_col)).alias("_bn"),
+    )
+    return (
+        a.join(broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("_cos", _dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn")))
+        .filter(F.col("_cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
 def lsh_signatures(
     df: DataFrame,
     n_planes: int = 4,

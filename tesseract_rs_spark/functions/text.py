@@ -95,6 +95,20 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+# BPE-style pre-tokenizer: letter runs, digit runs, single punctuation —
+# the shape GPT-2-family pre-tokenizers use (public), ASCII-only so the
+# regex behaves identically across engines.
+BPE_PRETOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def token_count_bpe(col: str = "text") -> Column:
+    """Sub-word-ish token count via the BPE pre-tokenizer regex — the
+    cheap proxy for 'how many LLM tokens is this document'."""
+    return F.size(F.regexp_extract_all(F.col(col), F.lit(BPE_PRETOKEN_RE), F.lit(0))).cast(
+        "long"
+    )
+
+
 def word_is_numeric(col: str = "word") -> Column:
     """All-digit word predicate (word_is_numeric,
     /root/reference/src/result_iterator.rs:158-164)."""
