@@ -148,68 +148,71 @@ def otsu_threshold(img: np.ndarray) -> int:
 
 
 def connected_components(binary: np.ndarray) -> tuple:
-    """Two-pass union-find labeling (4-connectivity).  Returns
-    (n_components, stats) where stats is an (n, 5) int array of
-    (left, top, right, bottom, area) per component, 1-indexed order."""
+    """Run-based union-find labeling (4-connectivity), Leptonica-style but
+    vectorized: rows are RLE-decomposed in ONE numpy pass, run-overlap
+    edges between consecutive rows are computed with two ``searchsorted``
+    calls per row, and only the union-find itself (one op per edge,
+    E ~ number of runs) runs in Python.  Returns (n_components, stats)
+    where stats is an (n, 5) int array of (left, top, right, bottom, area),
+    right/bottom exclusive, components in first-encounter (row-major)
+    order."""
     h, w = binary.shape
-    labels = np.zeros((h, w), dtype=np.int32)
-    parent = [0]
-
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    next_label = 1
-    for y in range(h):
-        row = binary[y]
-        if not row.any():
-            continue
-        # run-length decompose the row: starts/ends of ink runs
-        diff = np.diff(row.astype(np.int8))
-        starts = list(np.where(diff == 1)[0] + 1)
-        ends = list(np.where(diff == -1)[0] + 1)
-        if row[0]:
-            starts.insert(0, 0)
-        if row[-1]:
-            ends.append(w)
-        prev_row = labels[y - 1] if y > 0 else None
-        for s, e in zip(starts, ends):
-            vals = set(prev_row[s:e].tolist()) - {0} if prev_row is not None else None
-            if not vals:
-                parent.append(next_label)
-                labels[y, s:e] = next_label
-                next_label += 1
-            else:
-                roots = {find(a) for a in vals}
-                root = min(roots)
-                labels[y, s:e] = root
-                for r in roots:
-                    if r != root:
-                        parent[r] = root
-    # resolve + relabel compactly
-    if next_label == 1:
+    # RLE all rows at once: pad with a false column on both sides so every
+    # run has an explicit start/end transition
+    padded = np.zeros((h, w + 2), dtype=bool)
+    padded[:, 1:-1] = binary
+    d = np.diff(padded.view(np.int8), axis=1)
+    run_row, run_start = np.nonzero(d == 1)
+    _, run_end = np.nonzero(d == -1)  # same count/order as starts
+    n_runs = len(run_row)
+    if n_runs == 0:
         return 0, np.zeros((0, 5), dtype=np.int64)
-    flat = labels.reshape(-1)
-    nz = flat > 0
-    roots = np.array([find(i) for i in range(next_label)], dtype=np.int32)
-    flat[nz] = roots[flat[nz]]
-    uniq, inv = np.unique(flat[nz], return_inverse=True)
-    flat[nz] = inv + 1
+    # Edges between overlapping runs of consecutive rows, built with TWO
+    # global searchsorted calls over composite (row, col) keys: for cur run
+    # i in row r, matching prev-row runs j satisfy pe_j > qs_i and
+    # ps_j < qe_i; keys from other rows fall outside the probed interval,
+    # so no per-row loop is needed at all.
+    w2 = w + 2
+    key_start = run_row.astype(np.int64) * w2 + run_start
+    key_end = run_row.astype(np.int64) * w2 + run_end
+    lo = np.searchsorted(key_end, key_start - w2, side="right")
+    hi = np.searchsorted(key_start, key_end - w2, side="left")
+    counts = hi - lo
+    total = int(counts.sum())
+    if total:
+        u = np.repeat(np.arange(n_runs, dtype=np.int64), counts)
+        cum = np.cumsum(counts)
+        v = np.arange(total, dtype=np.int64) - np.repeat(cum - counts, counts) + np.repeat(lo, counts)
+    else:
+        u = v = np.empty(0, dtype=np.int64)
+
+    # min-label propagation with pointer jumping: monotone decreasing ->
+    # fixpoint = per-component minimum run id (first-encounter root)
+    roots = np.arange(n_runs, dtype=np.int64)
+    while True:
+        old = roots
+        if total:
+            m = np.minimum(roots[u], roots[v])
+            roots = roots.copy()
+            np.minimum.at(roots, u, m)
+            np.minimum.at(roots, v, m)
+        roots = np.minimum(roots, roots[roots])
+        if np.array_equal(roots, old):
+            break
+    uniq, inv = np.unique(roots, return_inverse=True)
     n = len(uniq)
-    ys, xs = np.nonzero(labels)
-    ls = labels[ys, xs] - 1
+    run_len = (run_end - run_start).astype(np.int64)
     stats = np.zeros((n, 5), dtype=np.int64)
-    stats[:, 0] = np.full(n, 1 << 30)
-    stats[:, 1] = np.full(n, 1 << 30)
-    np.minimum.at(stats[:, 0], ls, xs)
-    np.minimum.at(stats[:, 1], ls, ys)
-    np.maximum.at(stats[:, 2], ls, xs)
-    np.maximum.at(stats[:, 3], ls, ys)
-    np.add.at(stats[:, 4], ls, 1)
-    stats[:, 2] += 1  # exclusive right/bottom
-    stats[:, 3] += 1
+    stats[:, 0] = 1 << 30
+    stats[:, 1] = 1 << 30
+    np.minimum.at(stats[:, 0], inv, run_start)
+    np.minimum.at(stats[:, 1], inv, run_row)
+    np.maximum.at(stats[:, 2], inv, run_end)  # run_end already exclusive
+    np.maximum.at(stats[:, 3], inv, run_row)
+    np.add.at(stats[:, 4], inv, run_len)
+    stats[:, 3] += 1  # exclusive bottom
+    # first-encounter order: uniq (sorted root run ids) IS row-major
+    # first-encounter because unions always keep the smaller run id
     return n, stats
 
 
@@ -278,8 +281,37 @@ def fit_baseline(glyphs) -> int:
     ys = np.array([g[3] for g in glyphs], dtype=np.float64)
     if len(xs) == 1 or xs.max() == xs.min():
         return int(round(float(ys.mean())))
-    slope, intercept = np.polyfit(xs, ys, 1)
-    return int(round(intercept + slope * xs[0]))
+    # closed-form deg-1 least squares (polyfit is ~10x slower per call)
+    xm, ym = xs.mean(), ys.mean()
+    slope = ((xs - xm) * (ys - ym)).sum() / ((xs - xm) ** 2).sum()
+    return int(round(ym + slope * (xs[0] - xm)))
+
+
+_ATLAS_SUMS = _ATLAS_FLAT.sum(axis=1).astype(np.int32)  # ink per template
+
+
+def _word_glyph_dists(binary: np.ndarray, box, allowed_idx) -> np.ndarray:
+    """(n_glyphs, n_allowed) Hamming distances between the word's fixed-
+    pitch cells and the (whitelist-restricted) atlas, as ONE matmul:
+    |a XOR c| = |a| + |c| - 2*(a.c) for binary masks."""
+    l, t, r, _btm, _ = box
+    region = binary[t : t + GLYPH_H, l:r]
+    n_glyphs = max(1, (r - l + 2) // ADVANCE)
+    buf = np.zeros((GLYPH_H, n_glyphs * ADVANCE), dtype=bool)
+    buf[: region.shape[0], : region.shape[1]] = region
+    cells = buf.reshape(GLYPH_H, n_glyphs, ADVANCE).transpose(1, 0, 2)[:, :, :GLYPH_W]
+    flat = cells.reshape(n_glyphs, -1).astype(np.int32)
+    templates = _ATLAS_FLAT[allowed_idx].astype(np.int32)
+    dots = flat @ templates.T
+    return _ATLAS_SUMS[allowed_idx][None, :] + flat.sum(axis=1)[:, None] - 2 * dots
+
+
+def _allowed_indices(whitelist: set | None):
+    if whitelist is None:
+        return np.arange(len(CHARSET))
+    return np.array(
+        [i for i, c in enumerate(CHARSET) if c in whitelist], dtype=np.int64
+    )
 
 
 def decode_word(binary: np.ndarray, box, whitelist: set | None) -> tuple:
@@ -287,25 +319,16 @@ def decode_word(binary: np.ndarray, box, whitelist: set | None) -> tuple:
     Exact mask match = conf 100; otherwise nearest by Hamming distance
     (decode-mask semantics: whitelist restricts the template set,
     tests/integration_test.rs:102-106)."""
-    l, t, r, btm, _ = box
-    region = binary[t : t + GLYPH_H, l:r]
-    n_glyphs = max(1, (r - l + 2) // ADVANCE)
-    chars = []
-    confs = []
-    allowed = [i for i, c in enumerate(CHARSET) if whitelist is None or c in whitelist]
-    if not allowed:
+    allowed = _allowed_indices(whitelist)
+    if len(allowed) == 0:
         return "", 0.0
-    flat_allowed = _ATLAS_FLAT[allowed]
-    for k in range(n_glyphs):
-        x0 = k * ADVANCE
-        cell = np.zeros((GLYPH_H, GLYPH_W), dtype=bool)
-        piece = region[:, x0 : x0 + GLYPH_W]
-        cell[: piece.shape[0], : piece.shape[1]] = piece
-        dists = np.abs(flat_allowed - cell.reshape(-1).astype(np.int16)).sum(axis=1)
-        j = int(np.argmin(dists))
-        chars.append(CHARSET[allowed[j]])
-        confs.append(100.0 * (1.0 - dists[j] / cell.size))
-    return "".join(chars), float(np.mean(confs))
+    dists = _word_glyph_dists(binary, box, allowed)
+    best = dists.argmin(axis=1)
+    cell_size = GLYPH_H * GLYPH_W
+    best_d = dists[np.arange(len(best)), best]
+    chars = "".join(CHARSET[allowed[j]] for j in best)
+    conf = float((100.0 * (1.0 - best_d / cell_size)).mean())
+    return chars, conf
 
 
 def decode_word_choices(
@@ -315,23 +338,17 @@ def decode_word_choices(
     ChoiceIterator analog (/root/reference/src/choice_iterator.rs:30-71;
     descending order asserted at tests/test_iterators.rs:736-769).
     Returns [(symbol_id, glyph, conf, [(alt_glyph, alt_conf), ...])]."""
-    l, t, r, btm, _ = box
-    region = binary[t : t + GLYPH_H, l:r]
-    n_glyphs = max(1, (r - l + 2) // ADVANCE)
-    allowed = [i for i, c in enumerate(CHARSET) if whitelist is None or c in whitelist]
-    if not allowed:
+    allowed = _allowed_indices(whitelist)
+    if len(allowed) == 0:
         return []
-    flat_allowed = _ATLAS_FLAT[allowed]
+    dist_mat = _word_glyph_dists(binary, box, allowed)
+    cell_size = GLYPH_H * GLYPH_W
     out = []
-    for gi in range(n_glyphs):
-        x0 = gi * ADVANCE
-        cell = np.zeros((GLYPH_H, GLYPH_W), dtype=bool)
-        piece = region[:, x0 : x0 + GLYPH_W]
-        cell[: piece.shape[0], : piece.shape[1]] = piece
-        dists = np.abs(flat_allowed - cell.reshape(-1).astype(np.int16)).sum(axis=1)
+    for gi in range(dist_mat.shape[0]):
+        dists = dist_mat[gi]
         order = np.argsort(dists, kind="stable")[:k]
         alts = [
-            (CHARSET[allowed[j]], round(100.0 * (1.0 - dists[j] / cell.size), 4))
+            (CHARSET[allowed[j]], round(100.0 * (1.0 - dists[j] / cell_size), 4))
             for j in order
         ]
         out.append((gi, alts[0][0], alts[0][1], alts))
