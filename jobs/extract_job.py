@@ -1,0 +1,113 @@
+"""spark-submit entry point — the engine's CLI surface.
+
+Mirrors the reference CLI (/root/reference/cli/src/main.rs:143-174:
+input, language, PSM, output-format selection) as a cluster job:
+
+    spark-submit --py-files tesseract_rs_spark.zip jobs/extract_job.py \\
+        --input /path/pages.parquet --output /path/out \\
+        --payload html --lang eng --psm 3 --output-format text \\
+        [--whitelist 0123456789] [--checkpoint-dir /path/ckpt --n-buckets 64]
+
+With ``--checkpoint-dir`` the job runs the per-bucket lineage commit
+protocol and RESUMES after interruption (north rule: resumable from
+checkpoint with per-partition lineage + metrics).  Without it, one fused
+pass writes straight to ``--output``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="tesseract_rs_spark extraction job")
+    p.add_argument("--input", required=True, help="pages parquet/Iceberg path")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--payload", choices=["html", "raster"], default="html")
+    p.add_argument("--lang", default="eng")
+    p.add_argument("--psm", type=int, default=3)
+    p.add_argument(
+        "--output-format",
+        choices=["text", "words", "tsv", "hocr", "unlv"],
+        default="text",
+    )
+    p.add_argument("--whitelist", default=None)
+    p.add_argument("--blacklist", default=None)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--group-size", type=int, default=8)
+    p.add_argument("--master", default=None, help="override master URL (tests)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from pyspark.sql import SparkSession
+
+    from tesseract_rs_spark.config import ExtractConfig, mode_from_int
+    from tesseract_rs_spark.operators.extract import extract_text, extract_words
+    from tesseract_rs_spark.operators.ocr import ocr_text
+    from tesseract_rs_spark.operators.renderers import (
+        render_hocr,
+        render_tsv,
+        render_unlv,
+    )
+    from tesseract_rs_spark.plans.checkpoint import read_lineage, run_checkpointed
+
+    if args.master:
+        from tesseract_rs_spark.session import get_spark
+
+        spark = get_spark("extract-job", cores=int(args.master))
+    else:
+        spark = SparkSession.builder.appName("extract-job").getOrCreate()
+
+    cfg = ExtractConfig(lang=args.lang, mode=mode_from_int(args.psm))
+    if args.whitelist:
+        cfg = cfg.with_variable("tessedit_char_whitelist", args.whitelist)
+    if args.blacklist:
+        cfg = cfg.with_variable("tessedit_char_blacklist", args.blacklist)
+
+    pages = spark.read.parquet(args.input)
+    t0 = time.time()
+    if args.checkpoint_dir:
+        result = run_checkpointed(
+            spark,
+            pages,
+            args.checkpoint_dir,
+            cfg,
+            n_buckets=args.n_buckets,
+            group_size=args.group_size,
+        )
+        result.write.mode("overwrite").parquet(args.output)
+        lineage = read_lineage(args.checkpoint_dir)
+        summary = {
+            "buckets": len(lineage),
+            "rows": sum(r["n_rows"] for r in lineage),
+            "chars": sum(r["chars_emitted"] for r in lineage),
+        }
+    else:
+        if args.payload == "raster":
+            out = ocr_text(pages, cfg)
+        elif args.output_format == "text":
+            out = extract_text(pages, cfg)
+        else:
+            words = extract_words(pages, cfg)
+            out = {
+                "words": lambda: words,
+                "tsv": lambda: render_tsv(words),
+                "hocr": lambda: render_hocr(words),
+                "unlv": lambda: render_unlv(words),
+            }[args.output_format]()
+        out.write.mode("overwrite").parquet(args.output)
+        summary = {"rows": spark.read.parquet(args.output).count()}
+    summary["wall_s"] = round(time.time() - t0, 2)
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,62 @@
+"""spark-submit deployment path (north rule: launched via spark-submit
+--py-files) — package zip + CLI job, output byte-identical to golden."""
+
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+import duckdb
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_spark_submit_py_files(tmp_path):
+    sys.path.insert(0, REPO)
+    from tesseract_rs_spark.corpus import make_corpus
+
+    zip_path = tmp_path / "tesseract_rs_spark.zip"
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        pkg = os.path.join(REPO, "tesseract_rs_spark")
+        for root, _, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, REPO))
+    pages, golden = make_corpus("smoke")
+    pages_path = str(tmp_path / "pages.parquet")
+    pages.to_parquet(
+        pages_path, coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+    golden_path = str(tmp_path / "golden.parquet")
+    golden.to_parquet(golden_path)
+    out = str(tmp_path / "out")
+    proc = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[4]",
+            "--py-files", str(zip_path),
+            os.path.join(REPO, "jobs", "extract_job.py"),
+            "--input", pages_path,
+            "--output", out,
+            "--output-format", "text",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["rows"] == 64
+    con = duckdb.connect()
+    n = con.sql(
+        f"""
+        SELECT count(*) FROM read_parquet('{out}/*.parquet') o
+        JOIN read_parquet('{golden_path}') g USING (url)
+        WHERE o.text = g.text AND o.status = g.expected_status
+        """
+    ).fetchone()[0]
+    assert n == 64
