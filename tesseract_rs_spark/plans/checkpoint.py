@@ -100,14 +100,19 @@ def run_checkpointed(
             raise RuntimeError(f"injected failure before committing buckets {group}")
         t0 = time.time()
         part = bucketed.filter(F.col("bucket").isin(group))
-        result = extract_text(part, cfg, id_cols=tuple(id_cols) + ("bucket",))
+        result = extract_text(
+            part, cfg, id_cols=tuple(id_cols) + ("bucket",), spans=True
+        )
         (
             result.repartition(len(group), "bucket")
             .write.mode("append")
             .partitionBy("bucket")
             .parquet(os.path.join(out_dir, DATA_DIR))
         )
-        # per-bucket metrics from what we just wrote (no recompute)
+        # per-bucket metrics from what we just wrote (no recompute).  The
+        # confidence histogram aggregates as (bucket, conf_decile) COUNTS —
+        # constant rows per bucket, never a collected list (at 10^12 docs a
+        # collect_list here would be the job's largest allocation).
         written = spark.read.parquet(os.path.join(out_dir, DATA_DIR)).filter(
             F.col("bucket").isin(group)
         )
@@ -118,18 +123,30 @@ def run_checkpointed(
                 F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("n_ok"),
                 F.sum("n_chars").alias("chars_emitted"),
                 F.sum("n_words").alias("words_emitted"),
-                F.collect_list(
-                    F.least(F.floor(F.col("mean_conf") / 10), F.lit(_CONF_BUCKETS - 1))
-                ).alias("conf_bucket_ids"),
+                F.sum(F.size("failure_spans")).alias("failure_spans_total"),
             )
             .collect()
         )
+        hist_rows = (
+            written.groupBy(
+                "bucket",
+                F.least(
+                    F.floor(F.col("mean_conf") / 10), F.lit(_CONF_BUCKETS - 1)
+                ).alias("decile"),
+            )
+            .count()
+            .collect()
+        )
+        hists: dict = {}
+        for row in hist_rows:
+            hists.setdefault(row["bucket"], [0] * _CONF_BUCKETS)[
+                int(row["decile"])
+            ] += int(row["count"])
         wall = time.time() - t0
         for row in stats:
-            hist = [0] * _CONF_BUCKETS
-            for i in row["conf_bucket_ids"]:
-                hist[int(i)] += 1
-            _commit_lineage(out_dir, row, hist, wall, len(group))
+            _commit_lineage(
+                out_dir, row, hists.get(row["bucket"], [0] * _CONF_BUCKETS), wall, len(group)
+            )
         # buckets with zero rows still need lineage so resume skips them
         seen = {row["bucket"] for row in stats}
         for b in group:
@@ -143,8 +160,10 @@ def _commit_lineage(out_dir: str, row, hist: list, wall: float, group_len: int) 
         "bucket": int(row["bucket"]),
         "n_rows": int(row["n_rows"]),
         "n_ok": int(row["n_ok"]),
+        "n_failed": int(row["n_rows"]) - int(row["n_ok"]),
         "chars_emitted": int(row["chars_emitted"]),
         "words_emitted": int(row["words_emitted"]),
+        "failure_spans_total": int(row["failure_spans_total"]),
         "conf_histogram": hist,
         "wall_s_group": round(wall, 3),
         "group_size": group_len,

@@ -70,5 +70,9 @@ def test_lineage_metrics(spark, pages_path, tmp_path):
     assert len(rows) == 4
     assert sum(r["n_rows"] for r in rows) == 64
     assert all(len(r["conf_histogram"]) == 10 for r in rows)
+    assert all(sum(r["conf_histogram"]) == r["n_rows"] for r in rows)
     assert sum(r["chars_emitted"] for r in rows) > 0
+    # smoke corpus plants corrupt pages: failure accounting must see them
+    assert sum(r["n_failed"] for r in rows) == 12
+    assert sum(r["failure_spans_total"] for r in rows) >= 12
     assert os.path.isdir(os.path.join(out, "data"))
