@@ -93,6 +93,7 @@ class RasterResult:
     #               left, top, right, bottom, baseline_y)
     threshold: int
     orientation_deg: int
+    deskew_deg: float
     n_components: int
     mean_conf: int
     failure_spans: list  # [(byte_start, byte_end)]
@@ -296,9 +297,12 @@ def _word_glyph_dists(binary: np.ndarray, box, allowed_idx) -> np.ndarray:
     |a XOR c| = |a| + |c| - 2*(a.c) for binary masks."""
     l, t, r, _btm, _ = box
     region = binary[t : t + GLYPH_H, l:r]
-    n_glyphs = max(1, (r - l + 2) // ADVANCE)
-    buf = np.zeros((GLYPH_H, n_glyphs * ADVANCE), dtype=bool)
+    n_glyphs = max(1, int(round((r - l + 2) / ADVANCE)))
+    # deskew residue can leave the box a pixel or two wider than the glyph
+    # budget — size the buffer to whichever is larger
+    buf = np.zeros((GLYPH_H, max(n_glyphs * ADVANCE, region.shape[1])), dtype=bool)
     buf[: region.shape[0], : region.shape[1]] = region
+    buf = buf[:, : n_glyphs * ADVANCE]
     cells = buf.reshape(GLYPH_H, n_glyphs, ADVANCE).transpose(1, 0, 2)[:, :, :GLYPH_W]
     flat = cells.reshape(n_glyphs, -1).astype(np.int32)
     templates = _ATLAS_FLAT[allowed_idx].astype(np.int32)
@@ -386,6 +390,63 @@ def paragraph_info(line_lefts: list) -> tuple:
     just = JUSTIFICATION_LEFT if aligned >= max(1, len(line_lefts) - 1) else JUSTIFICATION_UNKNOWN
     indent = line_lefts[0] - base
     return just, False, indent
+
+
+def estimate_skew_deg(
+    binary: np.ndarray, max_deg: float = 5.0, step_deg: float = 0.5
+) -> float:
+    """Skew estimation by projection-profile variance maximization: the
+    angle whose rotated row-profile is sharpest is the text skew
+    (deskew-angle channel of the orientation tuple,
+    /root/reference/src/page_iterator.rs:182-217).  Vectorized: one
+    bincount per candidate angle over the ink coordinates."""
+    ys, xs = np.nonzero(binary)
+    if len(ys) < 16:
+        return 0.0
+    if len(ys) > 8192:  # subsample: variance estimate needs no more
+        sel = np.arange(0, len(ys), len(ys) // 8192 + 1)
+        ys, xs = ys[sel], xs[sel]
+    ysf = ys.astype(np.float64)
+    xsf = xs.astype(np.float64)
+    best_angle, best_e, e0 = 0.0, -1.0, 0.0
+    for angle in np.arange(-max_deg, max_deg + 1e-9, step_deg):
+        rad = np.deg2rad(angle)
+        proj = np.rint(ysf * np.cos(rad) - xsf * np.sin(rad)).astype(np.int64)
+        proj -= proj.min()
+        counts = np.bincount(proj)
+        # profile ENERGY sum(c^2): total mass is angle-invariant, so energy
+        # peaks exactly when text lines align with the projection axis
+        # (variance would not be comparable across bin supports)
+        e = float((counts.astype(np.float64) ** 2).sum())
+        if abs(angle) < step_deg / 2:
+            e0 = e
+        if e > best_e + 1e-9:
+            best_e, best_angle = e, float(angle)
+    # require a clear win over "no skew" (margin idiom mirrors
+    # set_min_orientation_margin, api.rs:640-647): true skew on multi-line
+    # pages scores ~1.7x the zero-angle energy; sampling flukes on tiny
+    # single-line pages stay under ~1.1x
+    if best_e <= 1.2 * e0:
+        return 0.0
+    return best_angle
+
+
+def deskew(binary: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Rotate the binary image by ``-angle_deg`` about its center via
+    inverse nearest-neighbor mapping (pure numpy, hole-free)."""
+    if abs(angle_deg) < 1e-9:
+        return binary
+    h, w = binary.shape
+    rad = np.deg2rad(angle_deg)
+    c, s = np.cos(rad), np.sin(rad)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy, xx = np.mgrid[0:h, 0:w]
+    ysrc = np.rint(c * (yy - cy) - s * (xx - cx) + cy).astype(np.int64)
+    xsrc = np.rint(s * (yy - cy) + c * (xx - cx) + cx).astype(np.int64)
+    valid = (ysrc >= 0) & (ysrc < h) & (xsrc >= 0) & (xsrc < w)
+    out = np.zeros_like(binary)
+    out[valid] = binary[ysrc[valid], xsrc[valid]]
+    return out
 
 
 def osd_orientation(binary: np.ndarray) -> int:
@@ -484,7 +545,7 @@ def extract_raster_doc(payload, whitelist: str | None = None) -> RasterResult:
     img, status = decode_page(payload)
     if status != STATUS_OK:
         n = len(payload) if payload is not None else 0
-        return RasterResult(status, "", [], -1, 0, 0, 0, [(0, n)])
+        return RasterResult(status, "", [], -1, 0, 0.0, 0, 0, [(0, n)])
     t = otsu_threshold(img)
     binary = img <= t
     # OSD auto-rotation: sideways pages are rotated upright before layout
@@ -493,6 +554,11 @@ def extract_raster_doc(payload, whitelist: str | None = None) -> RasterResult:
     detected_orientation = osd_orientation(binary)
     if detected_orientation == 90:
         binary = np.rot90(binary, k=-1)
+    # small-angle deskew (orientation tuple's deskew channel): the
+    # correction rotates by the NEGATED estimate
+    skew = estimate_skew_deg(binary)
+    if abs(skew) >= 0.5:
+        binary = deskew(binary, -skew)
     n_comp, stats = connected_components(binary)
     layout = segment_layout(stats)
     wl = set(whitelist) if whitelist else None
@@ -530,7 +596,7 @@ def extract_raster_doc(payload, whitelist: str | None = None) -> RasterResult:
     confs = [w[5] for w in words]
     mean_conf = int(round(float(np.mean(confs)))) if confs else 0
     return RasterResult(
-        STATUS_OK, text, words, t, detected_orientation, n_comp, mean_conf, []
+        STATUS_OK, text, words, t, detected_orientation, skew, n_comp, mean_conf, []
     )
 
 

@@ -22,7 +22,7 @@ from tesseract_rs_spark.kernels.raster import (
 
 OCR_TEXT_FIELDS = (
     "text string, status string, threshold long, orientation_deg long, "
-    "n_components long, n_words long, mean_conf long"
+    "deskew_deg double, n_components long, n_words long, mean_conf long"
 )
 OCR_WORD_FIELDS = (
     "block_id long, para_id long, line_id long, word_id long, word string, "
@@ -57,6 +57,9 @@ def ocr_text(
             out["threshold"] = pd.array([r.threshold for r in results], dtype="int64")
             out["orientation_deg"] = pd.array(
                 [r.orientation_deg for r in results], dtype="int64"
+            )
+            out["deskew_deg"] = pd.array(
+                [r.deskew_deg for r in results], dtype="float64"
             )
             out["n_components"] = pd.array(
                 [r.n_components for r in results], dtype="int64"

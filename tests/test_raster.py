@@ -146,6 +146,29 @@ class TestGolden:
         assert r.orientation_deg == 90
         assert r.text == golden_raster_text("rotated page words here")
 
+    def test_deskew_recovers_tilted_page(self):
+        """Small-angle skew (the orientation tuple's deskew channel,
+        page_iterator.rs:182-217) is estimated and corrected."""
+        from tesseract_rs_spark.kernels.raster import MAGIC as M
+        from tesseract_rs_spark.kernels.raster import deskew, otsu_threshold
+
+        text = "tilted page words here still readable after deskew correction applied"
+        page = render_page(text)
+        img, _ = decode_page(page)
+        t = otsu_threshold(img)
+        tilted_bin = deskew(img <= t, -2.0)  # tilt the clean binary by +2°
+        # re-encode a grayscale page from the tilted binary
+        arr = np.where(tilted_bin, 40, 220).astype(np.uint8)
+        h, w = arr.shape
+        payload = struct.pack("<Iiiii", M, w, h, 1, w) + arr.tobytes()
+        r = extract_raster_doc(payload)
+        assert abs(r.deskew_deg - (-2.0)) <= 0.5, r.deskew_deg
+        assert r.text == golden_raster_text(text)
+
+    def test_zero_skew_reported_on_straight_page(self):
+        r = extract_raster_doc(render_page(TEXT))
+        assert r.deskew_deg == 0.0
+
     def test_thresholded_image_surface(self):
         from tesseract_rs_spark.kernels.raster import thresholded_image
 
