@@ -42,8 +42,15 @@ CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/tesseract_rs_spark_
 
 
 def corpus_path() -> str:
+    # cache key includes a probe-render hash so renderer changes in future
+    # rounds can never silently bench a stale corpus
+    import hashlib
+
+    from tesseract_rs_spark.corpus import render_html
+
+    probe = hashlib.sha256(render_html("probe words", 0, "en").encode()).hexdigest()[:8]
     tag = os.path.basename(os.path.normpath(SF_DIR))
-    return os.path.join(CACHE_ROOT, f"pages_{tag}_{BENCH_PAGES}.parquet")
+    return os.path.join(CACHE_ROOT, f"pages_{tag}_{BENCH_PAGES}_{probe}.parquet")
 
 
 def ensure_corpus(spark) -> str:
