@@ -207,7 +207,9 @@ def _q_multipage_text(spark, sf_dir):
         F.array_join(F.slice(toks, half + 1, F.size(toks) - half), " ").alias("ptext"),
         "lang",
     )
-    split_pages = p0.unionByName(p1)
+    # one-word documents produce an empty second half: drop empty pages so
+    # n_pages matches the SQL page-split (which never emits an empty page)
+    split_pages = p0.unionByName(p1).filter(F.col("ptext") != "")
 
     def gen(batches):
         for pdf in batches:
@@ -611,7 +613,10 @@ def oracle_sql() -> dict[str, str]:
           JOIN words b ON a.doc_id = b.doc_id AND b.wid = a.wid + 1
           JOIN words c ON a.doc_id = c.doc_id AND c.wid = a.wid + 2
         )
-        SELECT doc_id, min(md5(s)) AS shingle_fp FROM sh GROUP BY doc_id
+        SELECT d.doc_id, f.shingle_fp
+        FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+        LEFT JOIN (SELECT doc_id, min(md5(s)) AS shingle_fp
+                   FROM sh GROUP BY doc_id) f USING (doc_id)
         """,
         "dedup_summary": """
         SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -683,13 +688,18 @@ def oracle_sql() -> dict[str, str]:
                   >> (3 - (gs.b % 4))) & 1 AS bit
           FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) gs
         ),
-        votes AS (SELECT doc_id, b, SUM(bit) AS ones FROM bits GROUP BY doc_id, b)
-        SELECT v.doc_id,
-               CAST(SUM(CASE WHEN 2 * v.ones - c.n > 0
-                        THEN CAST(1 AS BIGINT) << (59 - v.b) ELSE 0 END)
-                    AS BIGINT) AS simhash
-        FROM votes v JOIN counts c ON c.doc_id = v.doc_id
-        GROUP BY v.doc_id
+        votes AS (SELECT doc_id, b, SUM(bit) AS ones FROM bits GROUP BY doc_id, b),
+        hashed AS (
+          SELECT v.doc_id,
+                 CAST(SUM(CASE WHEN 2 * v.ones - c.n > 0
+                          THEN CAST(1 AS BIGINT) << (59 - v.b) ELSE 0 END)
+                      AS BIGINT) AS simhash
+          FROM votes v JOIN counts c ON c.doc_id = v.doc_id
+          GROUP BY v.doc_id
+        )
+        SELECT d.doc_id, COALESCE(h.simhash, 0) AS simhash
+        FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+        LEFT JOIN hashed h USING (doc_id)
         """,
         "token_count_bpe": """
         SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -252,10 +252,13 @@ def simhash(
             ids, out = [], []
             for doc_id, text in zip(pdf[id_col], pdf["text"]):
                 words = text.split(" ") if text else []
+                # docs shorter than n words have NO shingles (same edge rule
+                # as functions.text.word_shingles — short docs emit 0, not a
+                # truncated shingle)
                 toks = sorted(
                     {
                         " ".join(words[i : i + n])
-                        for i in range(max(1, len(words) - n + 1))
+                        for i in range(len(words) - n + 1)
                     }
                 )
                 if not toks:

@@ -134,13 +134,19 @@ def word_in_dictionary(
 
 def word_shingles(col: str = "text", n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array column (JVM-side
-    ``transform``/``slice`` — no UDF)."""
+    ``transform``/``slice`` — no UDF).  Documents with fewer than ``n``
+    words have NO shingles (empty array), matching the SQL self-join
+    formulation the oracles use — a short doc must not emit a short
+    shingle."""
     t = tokens(col)
-    return F.array_distinct(
+    full = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
             lambda i: F.array_join(F.slice(t, i + 1, n), " "),
         )
+    )
+    return F.when(F.size(t) >= n, full).otherwise(
+        F.array().cast("array<string>")
     )
 
 

@@ -27,6 +27,7 @@ I/O, no randomness, no wall-clock.
 
 from __future__ import annotations
 
+import functools as _functools
 import html as _htmllib
 import re
 from dataclasses import dataclass, field
@@ -365,11 +366,25 @@ def _classify(blocks: list, cfg: ExtractConfig) -> None:
                     b.kept = True
 
 
+@_functools.lru_cache(maxsize=32)
+def _whitelist_re(chars: str) -> re.Pattern:
+    """Compiled deleter for chars OUTSIDE the whitelist (C-speed sub)."""
+    return re.compile(f"[^{re.escape(chars)}]")
+
+
+@_functools.lru_cache(maxsize=32)
+def _blacklist_re(chars: str) -> re.Pattern:
+    """Compiled deleter for blacklisted chars."""
+    return re.compile(f"[{re.escape(chars)}]")
+
+
 def _apply_charset(blocks: list, cfg: ExtractConfig) -> None:
     """tessedit_char_whitelist / blacklist analog: restrict emitted chars
-    (decode-mask semantics, tests/integration_test.rs:102-106)."""
-    wl = set(cfg.char_whitelist) if cfg.char_whitelist else None
-    bl = set(cfg.char_blacklist) if cfg.char_blacklist else None
+    (decode-mask semantics, tests/integration_test.rs:102-106).  The filter
+    is a compiled character-class regex sub (C engine), not a per-character
+    Python comprehension."""
+    wl = _whitelist_re(cfg.char_whitelist).sub if cfg.char_whitelist else None
+    bl = _blacklist_re(cfg.char_blacklist).sub if cfg.char_blacklist else None
     if wl is None and bl is None:
         return
     for b in blocks:
@@ -380,9 +395,9 @@ def _apply_charset(blocks: list, cfg: ExtractConfig) -> None:
             new_words = []
             for w in words:
                 if wl is not None:
-                    w = "".join(ch for ch in w if ch in wl)
+                    w = wl("", w)
                 if bl is not None:
-                    w = "".join(ch for ch in w if ch not in bl)
+                    w = bl("", w)
                 if w:
                     new_words.append(w)
             if new_words:

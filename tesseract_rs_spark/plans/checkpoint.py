@@ -177,8 +177,10 @@ def _commit_lineage_empty(out_dir: str, bucket: int, wall: float, group_len: int
         "bucket": int(bucket),
         "n_rows": 0,
         "n_ok": 0,
+        "n_failed": 0,
         "chars_emitted": 0,
         "words_emitted": 0,
+        "failure_spans_total": 0,
         "conf_histogram": [0] * _CONF_BUCKETS,
         "wall_s_group": round(wall, 3),
         "group_size": group_len,

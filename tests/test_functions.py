@@ -134,3 +134,35 @@ def test_quality_and_lang_domains(docs):
     assert q.filter((F.col("quality") < 0) | (F.col("quality") > 100)).count() == 0
     langs = {r["lang_pred"] for r in lang_id(docs).distinct().collect()}
     assert langs <= {"en", "de", "fr", "es"}
+
+
+def test_short_doc_shingle_edges(spark, tmp_path):
+    """Docs with fewer than n words emit NO shingles: word_shingles is
+    empty, simhash is 0, shingle_fingerprint is NULL, and a one-word doc
+    splits into ONE multipage page — all matching the SQL oracles'
+    self-join formulation (ADVICE r1)."""
+    import pandas as pd
+
+    from tesseract_rs_spark.functions.text import shingle_fingerprint, word_shingles
+
+    short = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": ["one", "two words", "three words here"],
+             "lang": ["en", "en", "en"]}
+        )
+    )
+    sh = short.select("doc_id", F.size(word_shingles("text", 3)).alias("n")).collect()
+    assert {r["doc_id"]: r["n"] for r in sh} == {1: 0, 2: 0, 3: 1}
+    sims = {r["doc_id"]: r["simhash"] for r in simhash(short).collect()}
+    assert sims[1] == 0 and sims[2] == 0 and sims[3] != 0
+    fps = {r["doc_id"]: r["shingle_fp"] for r in shingle_fingerprint(short).collect()}
+    assert fps[1] is None and fps[2] is None and fps[3] is not None
+
+    # one-word doc -> one page (empty second half dropped)
+    import __spark_entry__ as entry
+
+    d = tmp_path / "documents.parquet"
+    short.toPandas().to_parquet(d)
+    res = entry._q_multipage_text(spark, str(tmp_path)).collect()
+    pages = {r["doc_id"]: r["n_pages"] for r in res}
+    assert pages == {1: 1, 2: 2, 3: 2}
