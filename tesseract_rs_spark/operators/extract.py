@@ -15,11 +15,12 @@ from __future__ import annotations
 
 from typing import Iterator, Sequence
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
 from tesseract_rs_spark.config import ExtractConfig
-from tesseract_rs_spark.kernels.html import extract_doc, word_rows
+from tesseract_rs_spark.kernels.html import extract_doc, word_columns
 
 TEXT_RESULT_FIELDS = (
     "text string, status string, n_blocks long, n_words long, "
@@ -63,24 +64,26 @@ def extract_words_batch(
     pdf: pd.DataFrame, cfg: ExtractConfig, id_cols: Sequence[str]
 ) -> pd.DataFrame:
     """Extract one batch -> exploded word-level rows (ResultIterator analog,
-    /root/reference/src/result_iterator.rs:41-71)."""
-    keys = ("block_id", "para_id", "line_id", "word_id", "word", "conf",
-            "span_start", "span_end")
-    ids: dict = {c: [] for c in id_cols}
-    cols: dict = {k: [] for k in keys}
-    for row in pdf.itertuples(index=False):
-        r = extract_doc(row.html, cfg)
-        rows = word_rows(r)
-        for c in id_cols:
-            ids[c].extend([getattr(row, c)] * len(rows))
-        for vals in rows:
-            for k, v in zip(keys, vals):
-                cols[k].append(v)
-    out = {**ids, **cols}
-    for k in ("block_id", "para_id", "line_id", "word_id", "span_start", "span_end"):
-        out[k] = pd.array(out[k], dtype="int64")
-    out["conf"] = pd.array(out["conf"], dtype="float64")
-    return pd.DataFrame(out)
+    /root/reference/src/result_iterator.rs:41-71).  Vectorized explode: the
+    kernel returns columnar arrays per doc, id columns are ``np.repeat``
+    over per-doc counts, and each output column is ONE ``np.concatenate`` —
+    no itertuples, no per-word appends."""
+    per_doc = [word_columns(extract_doc(h, cfg)) for h in pdf["html"].to_numpy()]
+    counts = np.fromiter((len(p[0]) for p in per_doc), dtype=np.int64, count=len(per_doc))
+    out: dict = {c: np.repeat(pdf[c].to_numpy(), counts) for c in id_cols}
+    words: list = []
+    for p in per_doc:
+        words.extend(p[0])
+    names = ("block_id", "para_id", "line_id", "word_id", "conf",
+             "span_start", "span_end")
+    for i, name in enumerate(names, start=1):
+        out[name] = np.concatenate([p[i] for p in per_doc]) if per_doc else []
+    out["word"] = words
+    order = list(id_cols) + [
+        "block_id", "para_id", "line_id", "word_id", "word", "conf",
+        "span_start", "span_end",
+    ]
+    return pd.DataFrame(out)[order]
 
 
 def extract_text(

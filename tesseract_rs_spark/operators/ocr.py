@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Iterator, Sequence
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -100,27 +101,30 @@ def ocr_symbols(
         for pdf in batches:
             if not len(pdf):
                 continue
-            recs: list = []
-            for row in pdf.itertuples(index=False):
-                _, rows = raster_symbols(getattr(row, payload_col), wl, k)
-                base = tuple(getattr(row, c) for c in id_cols)
-                for para, line, word, sym, glyph, conf, alts in rows:
-                    recs.append(
-                        base
-                        + (
-                            para,
-                            line,
-                            word,
-                            sym,
-                            glyph,
-                            conf,
-                            [{"glyph": g, "conf": c} for g, c in alts],
-                        )
-                    )
+            per_doc = [raster_symbols(p, wl, k)[1] for p in pdf[payload_col]]
+            counts = np.fromiter(
+                (len(r) for r in per_doc), dtype=np.int64, count=len(per_doc)
+            )
+            out: dict = {
+                c: np.repeat(pdf[c].to_numpy(), counts) for c in id_cols
+            }
+            rows: list = []
+            for r in per_doc:
+                rows.extend(r)
+            t = list(zip(*rows)) if rows else [[]] * 7
+            for i, name in enumerate(
+                ("para_id", "line_id", "word_id", "symbol_id")
+            ):
+                out[name] = np.asarray(t[i], dtype=np.int64)
+            out["glyph"] = list(t[4])
+            out["conf"] = np.asarray(t[5], dtype=np.float64)
+            out["choices"] = [
+                [{"glyph": g, "conf": c} for g, c in alts] for alts in t[6]
+            ]
             cols = list(id_cols) + [
                 "para_id", "line_id", "word_id", "symbol_id", "glyph", "conf", "choices",
             ]
-            yield pd.DataFrame(recs, columns=cols)
+            yield pd.DataFrame(out)[cols]
 
     return pages.select(*id_cols, payload_col).mapInPandas(gen, schema=schema)
 
@@ -144,13 +148,23 @@ def ocr_layout(
         for pdf in batches:
             if not len(pdf):
                 continue
-            recs: list = []
-            for row in pdf.itertuples(index=False):
-                _, rows = raster_layout_blocks(getattr(row, payload_col))
-                base = tuple(getattr(row, c) for c in id_cols)
-                for r in rows:
-                    recs.append(base + tuple(r))
-            yield pd.DataFrame(recs, columns=list(id_cols) + names)
+            per_doc = [raster_layout_blocks(p)[1] for p in pdf[payload_col]]
+            counts = np.fromiter(
+                (len(r) for r in per_doc), dtype=np.int64, count=len(per_doc)
+            )
+            out: dict = {
+                c: np.repeat(pdf[c].to_numpy(), counts) for c in id_cols
+            }
+            rows: list = []
+            for r in per_doc:
+                rows.extend(r)
+            t = list(zip(*rows)) if rows else [[]] * len(names)
+            for i, name in enumerate(names):
+                if name in ("block_type", "justification"):
+                    out[name] = list(t[i])
+                else:
+                    out[name] = np.asarray(t[i], dtype=np.int64)
+            yield pd.DataFrame(out)[list(id_cols) + names]
 
     return pages.select(*id_cols, payload_col).mapInPandas(gen, schema=schema)
 
@@ -205,21 +219,28 @@ def ocr_words(
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids: dict = {c: [] for c in id_cols}
-            cols: dict = {k: [] for k in keys}
-            for row in pdf.itertuples(index=False):
-                r = extract_raster_doc(getattr(row, payload_col), whitelist=wl)
-                for c in id_cols:
-                    ids[c].extend([getattr(row, c)] * len(r.words))
-                for vals in r.words:
-                    for k, v in zip(keys, vals):
-                        cols[k].append(v)
-            out = {**ids, **cols}
-            for k in keys:
+            # vectorized explode: one C-speed list.extend per doc, ONE
+            # zip-transpose per batch, np.repeat for the id columns
+            docs = [
+                extract_raster_doc(p, whitelist=wl) for p in pdf[payload_col]
+            ]
+            counts = np.fromiter(
+                (len(r.words) for r in docs), dtype=np.int64, count=len(docs)
+            )
+            out: dict = {
+                c: np.repeat(pdf[c].to_numpy(), counts) for c in id_cols
+            }
+            rows: list = []
+            for r in docs:
+                rows.extend(r.words)
+            t = list(zip(*rows)) if rows else [[]] * len(keys)
+            for i, k in enumerate(keys):
                 if k == "word":
-                    continue
-                dtype = "float64" if k == "conf" else "int64"
-                out[k] = pd.array(out[k], dtype=dtype)
-            yield pd.DataFrame(out)
+                    out[k] = list(t[i])
+                elif k == "conf":
+                    out[k] = np.asarray(t[i], dtype=np.float64)
+                else:
+                    out[k] = np.asarray(t[i], dtype=np.int64)
+            yield pd.DataFrame(out)[list(id_cols) + list(keys)]
 
     return pages.select(*id_cols, payload_col).mapInPandas(gen, schema=schema)
