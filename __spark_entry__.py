@@ -266,8 +266,11 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def _q_dedup_minhash_lsh(spark, sf_dir):
-    # probabilistic candidate generation -> exact verification; candidates
-    # are seed-deterministic but not SQL-expressible -> rows-only check
+    # LSH candidates -> exact-Jaccard verification.  At t=0.8 with 64
+    # hashes / 16 bands the banding recall on >=0.8-Jaccard pairs is
+    # overwhelming (1-(1-s^4)^16 > 1-1e-5 at s=0.8), so the verified
+    # output equals the exact n-gram Jaccard pairs and shares its SQL
+    # oracle (tests/test_functions.py pins candidate recall == 100%).
     return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.8)
 
 
@@ -625,6 +628,30 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         """,
         "dedup_ngram_jaccard": _WORDS_CTE
+        + """
+        , sh AS (
+          SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+          FROM words a
+          JOIN words b ON a.doc_id = b.doc_id AND b.wid = a.wid + 1
+          JOIN words c ON a.doc_id = c.doc_id AND c.wid = a.wid + 2
+        ),
+        pair AS (
+          SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
+        ),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1)
+        SELECT id_a, id_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+               inter / (sa.n_sh + sb.n_sh - inter) AS jaccard
+        FROM pair
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.8
+        """,
+        # minhash LSH verifies candidates with EXACT Jaccard, and banding
+        # recall at t=0.8 (64 hashes / 16 bands) makes candidate misses
+        # vanishingly unlikely -> the exact-Jaccard SQL is its oracle too
+        "dedup_minhash_lsh": _WORDS_CTE
         + """
         , sh AS (
           SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s

@@ -106,22 +106,20 @@ def ngram_jaccard_pairs(
 
 
 def _hash_params(num_hashes: int, seed: int) -> tuple:
+    """Universal-hash params sized so ``a*h + b`` never overflows uint64:
+    ``a`` < 2^31, shingle hashes are mixed to 32 bits, so the product is
+    < 2^63 and ``+ b`` (< p = 2^61-1) stays inside uint64."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE_P, size=num_hashes, dtype=np.uint64)
+    a = rng.randint(1, 1 << 31, size=num_hashes, dtype=np.uint64)
     b = rng.randint(0, _MERSENNE_P, size=num_hashes, dtype=np.uint64)
     return a, b
 
 
-def _shingle_hash64(shingles: list) -> np.ndarray:
-    """Deterministic 64-bit shingle hashes (blake2b — no PYTHONHASHSEED)."""
-    return np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
-            for s in shingles
-        ),
-        dtype=np.uint64,
-        count=len(shingles),
-    )
+def _mersenne_mod(x: np.ndarray) -> np.ndarray:
+    """x mod (2^61 - 1) for x < 2^64, pure uint64: fold the high bits down
+    (2^61 ≡ 1 mod p), then one conditional subtract."""
+    x = (x >> np.uint64(61)) + (x & np.uint64(_MERSENNE_P))
+    return np.where(x >= _MERSENNE_P, x - np.uint64(_MERSENNE_P), x)
 
 
 def minhash_signatures(
@@ -131,14 +129,21 @@ def minhash_signatures(
     n: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, sig array<long>) MinHash signatures; the per-batch inner loop is
-    a single numpy broadcast ``min((a*h+b) mod p)`` over all shingles."""
+    """(id, sig array<long>) MinHash signatures.
+
+    Shingle hashing happens JVM-side (``xxhash64`` over the shingle array —
+    zero Python hashing); the Python stage is one uint64 numpy broadcast
+    ``min((a*h32 + b) mod (2^61-1))`` per doc — no object dtype, no Python
+    bigints (the round-1 weak spot)."""
     a_params, b_params = _hash_params(num_hashes, seed)
-    with_sh = docs.select(F.col(id_col), word_shingles("text", n).alias("_sh"))
+    with_sh = docs.select(
+        F.col(id_col),
+        F.transform(word_shingles("text", n), lambda s: F.xxhash64(s)).alias("_sh"),
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        a = a_params.astype(object)  # python ints: exact 128-bit products
-        b = b_params.astype(object)
+        a = a_params[:, None]
+        b = b_params[:, None]
         for pdf in batches:
             ids, sigs = [], []
             for doc_id, shingles in zip(pdf[id_col], pdf["_sh"]):
@@ -146,9 +151,10 @@ def minhash_signatures(
                     sigs.append([0] * num_hashes)
                     ids.append(doc_id)
                     continue
-                h = _shingle_hash64(list(shingles)).astype(object)
-                m = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE_P
-                sigs.append([int(x) for x in m.min(axis=1)])
+                h64 = np.asarray(shingles, dtype=np.int64).astype(np.uint64)
+                h32 = (h64 ^ (h64 >> np.uint64(32))) & np.uint64(0xFFFFFFFF)
+                m = _mersenne_mod(a * h32[None, :] + b)
+                sigs.append(m.min(axis=1).astype(np.int64).tolist())
                 ids.append(doc_id)
             yield pd.DataFrame({id_col: ids, "sig": sigs})
 
