@@ -69,16 +69,15 @@ def cosine_topk(
     )
 
 
-def embedding_dup_pairs(
+def embedding_dup_pairs_exact(
     corpus: DataFrame,
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: (id_a, id_b) with cosine >=
-    threshold, id_a < id_b.  Exact all-pairs — the verification primitive;
-    at corpus scale candidates come from the LSH tables first (same
-    pattern as MinHash dedup: probabilistic candidates, exact verify)."""
+    """Exact all-pairs embedding near-dup — the VERIFICATION primitive
+    only (O(n^2); never the corpus-scale path — use
+    :func:`embedding_dup_pairs`)."""
     a = corpus.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_av"),
@@ -91,6 +90,77 @@ def embedding_dup_pairs(
     )
     return (
         a.join(broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("_cos", _dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn")))
+        .filter(F.col("_cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def lsh_params_for_threshold(threshold: float, miss_target: float = 1e-6) -> tuple:
+    """(n_planes, n_tables) such that a pair AT the cosine threshold is
+    missed by every table with probability <= ``miss_target``.
+
+    Random-hyperplane collision probability per plane is
+    p = 1 - arccos(t)/pi (Charikar 2002); a table of k planes collides
+    with p^k, and L independent tables miss with (1-p^k)^L.  High
+    thresholds afford deep tables (strong pruning); low thresholds force
+    shallow tables + more of them (weak pruning is intrinsic there — at
+    t=0.45 nearly half of all random pairs collide per plane)."""
+    import math
+
+    p = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
+    n_planes = max(1, int(math.log(0.05) / math.log(p)))  # keep p^k >= ~5%
+    p_table = p**n_planes
+    n_tables = max(1, math.ceil(math.log(miss_target) / math.log(1.0 - p_table)))
+    return n_planes, n_tables
+
+
+def embedding_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+    seed: int = 7,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b) with cosine >=
+    threshold, id_a < id_b — the scale path.
+
+    Candidates come from multi-table sign-LSH bucket equi-joins (only
+    (table, bucket, id) rows shuffle — constant bytes per vector, no
+    corpus x corpus nested loop); candidates are then verified with the
+    EXACT cosine, so the output is identical to the all-pairs answer
+    whenever the tables recall every >=threshold pair (params from
+    :func:`lsh_params_for_threshold` put the per-pair miss at <=1e-6;
+    recall == 100% vs exact is pinned in tests)."""
+    if n_planes is None or n_tables is None:
+        auto_k, auto_l = lsh_params_for_threshold(threshold)
+        n_planes = n_planes if n_planes is not None else auto_k
+        n_tables = n_tables if n_tables is not None else auto_l
+    sig = lsh_signatures(corpus, n_planes, n_tables, seed, id_col, vec_col, dim)
+    a_sig = sig.select(F.col(id_col).alias("id_a"), "table", "bucket")
+    b_sig = sig.select(F.col(id_col).alias("id_b"), "table", "bucket")
+    cand = (
+        a_sig.join(b_sig, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = corpus.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_av"),
+        _norm(F.col(vec_col)).alias("_an"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_bv"),
+        _norm(F.col(vec_col)).alias("_bn"),
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn("_cos", _dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn")))
         .filter(F.col("_cos") >= threshold)
         .select("id_a", "id_b")

@@ -166,3 +166,23 @@ def test_short_doc_shingle_edges(spark, tmp_path):
     res = entry._q_multipage_text(spark, str(tmp_path)).collect()
     pages = {r["doc_id"]: r["n_pages"] for r in res}
     assert pages == {1: 1, 2: 2, 3: 2}
+
+
+def test_embedding_dup_pairs_lsh_equals_exact(emb):
+    """The LSH-bucketed scale path must return exactly the all-pairs
+    answer (candidates recalled, exact-cosine verified) — and its plan
+    must not contain a corpus x corpus nested-loop join."""
+    from tesseract_rs_spark.functions.similarity import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_exact,
+    )
+
+    lsh = embedding_dup_pairs(emb, threshold=0.45)
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs_exact(emb, threshold=0.45).collect()
+    }
+    assert got == want
