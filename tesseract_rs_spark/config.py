@@ -64,6 +64,12 @@ class ExtractConfig:
     roi_start: int | None = None
     roi_end: int | None = None
 
+    # Per-page wall-clock budget — the TessMonitor deadline /
+    # process_pages timeout analog (/root/reference/src/monitor.rs:18-50,
+    # src/api.rs:844-875).  A page that exceeds it yields a
+    # status='timeout' row instead of stalling the task.
+    page_timeout_ms: int | None = None
+
     # Free-form string variable map (api.rs:16) for forward-compat knobs.
     variables: dict[str, str] = field(default_factory=dict)
 
@@ -79,6 +85,8 @@ class ExtractConfig:
             kwargs["char_blacklist"] = value
         elif name == "preserve_interword_spaces":
             kwargs["preserve_interword_spaces"] = value.strip() == "1"
+        elif name == "page_timeout_ms":
+            kwargs["page_timeout_ms"] = int(value)
         return replace(self, **kwargs)
 
     def get_variable(self, name: str) -> str:

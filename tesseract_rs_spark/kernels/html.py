@@ -30,6 +30,7 @@ from __future__ import annotations
 import functools as _functools
 import html as _htmllib
 import re
+import time as _time
 from dataclasses import dataclass, field
 
 from tesseract_rs_spark.config import (
@@ -109,6 +110,16 @@ STATUS_OK = "ok"
 STATUS_EMPTY = "empty_input"
 STATUS_UTF8 = "utf8_error"
 STATUS_NOT_HTML = "not_html"
+STATUS_TIMEOUT = "timeout"
+
+# cooperative deadline check cadence (tokens between clock reads)
+_DEADLINE_STRIDE = 2048
+
+
+class PageTimeout(Exception):
+    """Raised inside the token loop when the per-page deadline expires
+    (TessMonitor deadline analog, /root/reference/src/monitor.rs:18-50).
+    Always caught by :func:`extract_doc` — never escapes to the task."""
 
 
 @dataclass(slots=True)
@@ -170,13 +181,16 @@ def _finalize_block(block: Block, preserve_spaces: bool) -> None:
     block.total_chars = content_chars
 
 
-def _segment(doc: str, cfg: ExtractConfig) -> list:
+def _segment(doc: str, cfg: ExtractConfig, deadline: float | None = None) -> list:
     """Single-pass tokenize + block segmentation.  Returns all non-empty
     blocks in source order with ancestry flags captured at flush time
     (flush always precedes the depth change, so flags are exact).
 
     Hot path: one regex pass + one Python branch per token; Block objects
-    are allocated only for blocks that actually carry text."""
+    are allocated only for blocks that actually carry text.  Every
+    ``_DEADLINE_STRIDE`` tokens the wall clock is checked against
+    ``deadline`` (monotonic seconds) so a pathological page aborts with
+    :class:`PageTimeout` instead of stalling the task."""
     blocks: list = []
     tag_stack: list = []  # (tag, hard, content, neg, pos)
     pos = 0
@@ -202,7 +216,12 @@ def _segment(doc: str, cfg: ExtractConfig) -> list:
             blocks.append(cur)
             cur = None
 
+    n_tokens = 0
     for m in _TOKEN_RE.finditer(doc):
+        n_tokens += 1
+        if deadline is not None and n_tokens % _DEADLINE_STRIDE == 0:
+            if _time.monotonic() > deadline:
+                raise PageTimeout
         start = m.start()
         if start > pos:
             text = doc[pos:start]
@@ -439,7 +458,17 @@ def extract_doc(payload, cfg: ExtractConfig) -> DocResult:
     if "<" not in doc:
         return DocResult(STATUS_NOT_HTML, "", [], 0, 0, 0, 0, 0, [(0, len(doc))])
 
-    blocks = _segment(doc, cfg)
+    deadline = (
+        _time.monotonic() + cfg.page_timeout_ms / 1000.0
+        if cfg.page_timeout_ms is not None
+        else None
+    )
+    try:
+        blocks = _segment(doc, cfg, deadline)
+    except PageTimeout:
+        # deadline expiry is a ROW, never a task failure (monitor.rs:18-50
+        # cancellation surfaces as an error result in the reference)
+        return DocResult(STATUS_TIMEOUT, "", [], 0, 0, 0, 0, 0, [(0, len(doc))])
     for b in blocks:
         _finalize_block(b, cfg.preserve_interword_spaces)
     if cfg.mode == MODE_AUTO:

@@ -33,6 +33,7 @@ including pixel bounding boxes — are knowable in closed form):
 from __future__ import annotations
 
 import struct
+import time as _time
 from dataclasses import dataclass
 
 import numpy as np
@@ -541,11 +542,22 @@ def thresholded_image(payload) -> tuple:
     )
 
 
-def extract_raster_doc(payload, whitelist: str | None = None) -> RasterResult:
+def extract_raster_doc(
+    payload, whitelist: str | None = None, timeout_ms: int | None = None
+) -> RasterResult:
     img, status = decode_page(payload)
     if status != STATUS_OK:
         n = len(payload) if payload is not None else 0
         return RasterResult(status, "", [], -1, 0, 0.0, 0, 0, [(0, n)])
+    # per-page deadline (TessMonitor analog, monitor.rs:18-50): checked at
+    # stage boundaries and per decoded word — expiry is a row, not a crash
+    deadline = (
+        _time.monotonic() + timeout_ms / 1000.0 if timeout_ms is not None else None
+    )
+
+    def _expired() -> bool:
+        return deadline is not None and _time.monotonic() > deadline
+
     t = otsu_threshold(img)
     binary = img <= t
     # OSD auto-rotation: sideways pages are rotated upright before layout
@@ -559,12 +571,18 @@ def extract_raster_doc(payload, whitelist: str | None = None) -> RasterResult:
     skew = estimate_skew_deg(binary)
     if abs(skew) >= 0.5:
         binary = deskew(binary, -skew)
+    if _expired():
+        return RasterResult("timeout", "", [], t, 0, 0.0, 0, 0, [(0, len(payload))])
     n_comp, stats = connected_components(binary)
     layout = segment_layout(stats)
     wl = set(whitelist) if whitelist else None
     words = []
     lines_text: dict = {}
     for para_id, line_id, boxes in layout:
+        if _expired():
+            return RasterResult(
+                "timeout", "", [], t, 0, 0.0, n_comp, 0, [(0, len(payload))]
+            )
         for word_id, box in enumerate(boxes):
             text, conf = decode_word(binary, box, wl)
             if not text:

@@ -91,9 +91,14 @@ def extract_text(
     cfg: ExtractConfig | None = None,
     id_cols: Sequence[str] = ("url",),
     spans: bool = False,
+    monitor=None,
 ) -> DataFrame:
     """pages -> (id_cols..., text, status, n_blocks, n_words, mean_conf,
-    n_chars[, failure_spans]) in ONE fused vectorized stage."""
+    n_chars[, failure_spans]) in ONE fused vectorized stage.
+
+    ``monitor`` (a :class:`tesseract_rs_spark.monitor.ProgressMonitor`)
+    receives one accumulator add per Arrow batch — the TessMonitor
+    progress channel; the deadline channel is ``cfg.page_timeout_ms``."""
     cfg = cfg or ExtractConfig()
     schema = _id_schema(pages, id_cols) + ", " + (
         FULL_RESULT_FIELDS if spans else TEXT_RESULT_FIELDS
@@ -104,6 +109,8 @@ def extract_text(
         for pdf in batches:
             if len(pdf):
                 yield extract_text_batch(pdf, cfg, id_cols, spans=spans)
+                if monitor is not None:
+                    monitor.add_batch(len(pdf))
 
     return pages.select(*id_cols, "html").mapInPandas(gen, schema=schema)
 

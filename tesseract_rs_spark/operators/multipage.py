@@ -30,10 +30,18 @@ def process_pages(
     retry_cfg: ExtractConfig | None = None,
     key: str = "url",
     page_col: str = "page_num",
+    timeout_ms: int | None = None,
 ) -> DataFrame:
     """(key, text, n_pages, n_failed_pages, mean_conf): per-document text
-    with pages joined by '\\f' in page order."""
+    with pages joined by '\\f' in page order.
+
+    ``timeout_ms`` is the reference's ``process_pages`` timeout parameter
+    (/root/reference/src/api.rs:844-875): a per-page wall-clock budget;
+    expired pages surface as status='timeout' rows counted in
+    ``n_failed_pages``."""
     cfg = cfg or ExtractConfig()
+    if timeout_ms is not None:
+        cfg = cfg.with_variable("page_timeout_ms", str(timeout_ms))
     per_page = extract_text(pages, cfg, id_cols=(key, page_col))
     if retry_cfg is not None:
         failed = per_page.filter(F.col("status") != "ok").select(key, page_col)

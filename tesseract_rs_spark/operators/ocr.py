@@ -51,7 +51,10 @@ def ocr_text(
         for pdf in batches:
             if not len(pdf):
                 continue
-            results = [extract_raster_doc(p, whitelist=wl) for p in pdf[payload_col]]
+            results = [
+                extract_raster_doc(p, whitelist=wl, timeout_ms=cfg.page_timeout_ms)
+                for p in pdf[payload_col]
+            ]
             out = {c: pdf[c].to_numpy() for c in id_cols}
             out["text"] = [r.text for r in results]
             out["status"] = [r.status for r in results]
@@ -222,7 +225,8 @@ def ocr_words(
             # vectorized explode: one C-speed list.extend per doc, ONE
             # zip-transpose per batch, np.repeat for the id columns
             docs = [
-                extract_raster_doc(p, whitelist=wl) for p in pdf[payload_col]
+                extract_raster_doc(p, whitelist=wl, timeout_ms=cfg.page_timeout_ms)
+                for p in pdf[payload_col]
             ]
             counts = np.fromiter(
                 (len(r.words) for r in docs), dtype=np.int64, count=len(docs)
