@@ -409,27 +409,32 @@ def estimate_skew_deg(
         ys, xs = ys[sel], xs[sel]
     ysf = ys.astype(np.float64)
     xsf = xs.astype(np.float64)
-    best_angle, best_e, e0 = 0.0, -1.0, 0.0
-    for angle in np.arange(-max_deg, max_deg + 1e-9, step_deg):
-        rad = np.deg2rad(angle)
-        proj = np.rint(ysf * np.cos(rad) - xsf * np.sin(rad)).astype(np.int64)
-        proj -= proj.min()
-        counts = np.bincount(proj)
-        # profile ENERGY sum(c^2): total mass is angle-invariant, so energy
-        # peaks exactly when text lines align with the projection axis
-        # (variance would not be comparable across bin supports)
-        e = float((counts.astype(np.float64) ** 2).sum())
-        if abs(angle) < step_deg / 2:
-            e0 = e
-        if e > best_e + 1e-9:
-            best_e, best_angle = e, float(angle)
+    # ALL candidate angles in one shot: an (A, N) projection matrix, one
+    # composite-key bincount, per-angle profile ENERGY sum(c^2) (total mass
+    # is angle-invariant, so energy peaks exactly when text lines align
+    # with the projection axis; variance would not be comparable across
+    # bin supports).  Replaces the round-1 per-angle Python loop.
+    angles = np.arange(-max_deg, max_deg + 1e-9, step_deg)
+    rads = np.deg2rad(angles)
+    proj = np.rint(
+        np.cos(rads)[:, None] * ysf[None, :] - np.sin(rads)[:, None] * xsf[None, :]
+    ).astype(np.int64)
+    proj -= proj.min(axis=1, keepdims=True)
+    stride = int(proj.max()) + 1
+    keys = np.arange(len(angles), dtype=np.int64)[:, None] * stride + proj
+    counts = np.bincount(keys.ravel(), minlength=len(angles) * stride).reshape(
+        len(angles), stride
+    )
+    energy = (counts.astype(np.float64) ** 2).sum(axis=1)
+    zero_idx = int(np.argmin(np.abs(angles)))
+    best_idx = int(np.argmax(energy))  # first max = lowest candidate angle
     # require a clear win over "no skew" (margin idiom mirrors
     # set_min_orientation_margin, api.rs:640-647): true skew on multi-line
     # pages scores ~1.7x the zero-angle energy; sampling flukes on tiny
     # single-line pages stay under ~1.1x
-    if best_e <= 1.2 * e0:
+    if energy[best_idx] <= 1.2 * energy[zero_idx]:
         return 0.0
-    return best_angle
+    return float(angles[best_idx])
 
 
 def deskew(binary: np.ndarray, angle_deg: float) -> np.ndarray:
