@@ -48,7 +48,13 @@ from tesseract_rs_spark.functions.text import (
 from tesseract_rs_spark.corpus import render_html
 from tesseract_rs_spark.operators.extract import extract_text, extract_words
 from tesseract_rs_spark.operators.multipage import process_pages
-from tesseract_rs_spark.operators.ocr import ocr_layout, ocr_symbols, ocr_text, ocr_words
+from tesseract_rs_spark.operators.ocr import (
+    ocr_layout,
+    ocr_osd,
+    ocr_symbols,
+    ocr_text,
+    ocr_words,
+)
 from tesseract_rs_spark.operators.renderers import render_tsv, render_unlv
 from tesseract_rs_spark.sources.pages import (
     pages_from_documents,
@@ -185,6 +191,20 @@ def _q_ocr_symbols(spark, sf_dir):
 def _q_ocr_layout(spark, sf_dir):
     pages = raster_pages_from_documents(_docs(spark, sf_dir), WPL, LPP)
     return ocr_layout(pages, id_cols=("doc_id",))
+
+
+def _q_ocr_osd(spark, sf_dir):
+    """Pages rendered at (doc_id % 4) * 90 degrees ccw: detect_os must
+    recover the rotation AND the auto-rotated decode must stay byte-exact
+    (/root/reference/src/api.rs:599-629; expected orientation values as in
+    tests/test_iterators.rs:462-487)."""
+    pages = raster_pages_from_documents(
+        _docs(spark, sf_dir), WPL, LPP, rotate_mod4=True
+    )
+    return ocr_osd(pages, id_cols=("doc_id",)).select(
+        "doc_id", "orientation_deg", "script", "writing_direction",
+        "textline_order", "text",
+    )
 
 
 def _q_multipage_text(spark, sf_dir):
@@ -354,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_metrics": _q_ocr_metrics,
         "ocr_symbols": _q_ocr_symbols,
         "ocr_layout": _q_ocr_layout,
+        "ocr_osd": _q_ocr_osd,
         "multipage_text": _q_multipage_text,
         "text_stats": _q_text_stats,
         "quality_score": _q_quality_score,
@@ -545,6 +566,26 @@ def oracle_sql() -> dict[str, str]:
                'left' AS justification,
                CAST(0 AS BIGINT) AS first_line_indent
         FROM lines GROUP BY doc_id, pi
+        """,
+        "ocr_osd": _WORDS_CTE
+        + f"""
+        , lines AS (
+          SELECT doc_id, CAST((wid - 1) // {WPL} AS BIGINT) AS li,
+                 string_agg(w, ' ' ORDER BY wid) AS line
+          FROM words GROUP BY doc_id, li
+        ),
+        paras AS (
+          SELECT doc_id, CAST(li // {LPP} AS BIGINT) AS pi,
+                 string_agg(line, {nl} ORDER BY li) AS para
+          FROM lines GROUP BY doc_id, pi
+        )
+        SELECT doc_id,
+               CAST((doc_id % 4) * 90 AS BIGINT) AS orientation_deg,
+               'Latin' AS script,
+               'left_to_right' AS writing_direction,
+               'top_to_bottom' AS textline_order,
+               string_agg(para, {para_sep} ORDER BY pi) || {nl} AS text
+        FROM paras GROUP BY doc_id
         """,
         "multipage_text": _WORDS_CTE
         + f"""

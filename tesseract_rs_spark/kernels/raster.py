@@ -98,6 +98,13 @@ class RasterResult:
     n_components: int
     mean_conf: int
     failure_spans: list  # [(byte_start, byte_end)]
+    # OSD channels (detect_os / orientation tuple analogs,
+    # /root/reference/src/api.rs:599-629, page_iterator.rs:182-217)
+    orientation_conf: float = 0.0
+    script: str = "Latin"
+    script_conf: float = 0.0
+    writing_direction: str = "left_to_right"
+    textline_order: str = "top_to_bottom"
 
 
 # ---------------------------------------------------------------------------
@@ -455,18 +462,78 @@ def deskew(binary: np.ndarray, angle_deg: float) -> np.ndarray:
     return out
 
 
-def osd_orientation(binary: np.ndarray) -> int:
-    """Orientation (0/90/180/270) by projection-profile variance: text
-    pages have much higher row-profile variance upright than sideways
-    (detect_os analog, api.rs:599-629).  0 vs 180 is resolved as 0 (the
-    profile is symmetric for our glyphs; the reference defaults PAGE_UP,
-    enums.rs:126-134)."""
+WRITING_DIRECTION_LTR = "left_to_right"
+TEXTLINE_ORDER_TTB = "top_to_bottom"
+SCRIPT_LATIN = "Latin"
+
+# choose the non-default orientation only on a clear win (the
+# set_min_orientation_margin idiom, api.rs:640-647)
+_ORIENT_MARGIN = 5.0
+
+
+def _orient_score(binary: np.ndarray, max_glyphs: int = 12) -> float:
+    """Decode-confidence score of the FIRST text-line strip: label the
+    strip's components and take the mean best-template confidence over up
+    to ``max_glyphs`` glyphs.  This is the classifier-confidence vote the
+    reference's OSD runs per candidate orientation (api.rs:599-629):
+    upright text matches the atlas near-exactly; rotated text does not."""
+    row_any = binary.any(axis=1)
+    if not row_any.any():
+        return 0.0
+    top = int(np.argmax(row_any))
+    strip = binary[top : top + GLYPH_H + 2]
+    _, stats = connected_components(strip)
+    if len(stats) == 0:
+        return 0.0
+    stats = stats[np.argsort(stats[:, 0])][:max_glyphs]
+    cell_size = GLYPH_H * GLYPH_W
+    confs = []
+    for l, t, r, b, _area in stats:
+        cell = np.zeros((GLYPH_H, GLYPH_W), dtype=bool)
+        patch = strip[t : t + GLYPH_H, l : l + GLYPH_W]
+        cell[: patch.shape[0], : patch.shape[1]] = patch
+        flat = cell.reshape(1, -1).astype(np.int16)
+        dists = _ATLAS_SUMS + flat.sum() - 2 * (flat @ _ATLAS_FLAT.T)[0]
+        confs.append(100.0 * (1.0 - dists.min() / cell_size))
+    return float(np.mean(confs))
+
+
+def detect_os(binary: np.ndarray) -> tuple:
+    """Full orientation & script detection (detect_os analog,
+    /root/reference/src/api.rs:599-629): returns (orientation_deg,
+    orientation_conf, script, script_conf).
+
+    Two stages: projection-profile variance separates upright from
+    sideways (text rows dominate the profile only when lines are
+    horizontal), then a decode-confidence vote between the two remaining
+    180-degree-apart candidates breaks the symmetry the profile cannot
+    see.  Ambiguity defaults to the lower rotation (PAGE_UP default,
+    /root/reference/src/enums.rs:126-134)."""
     rows = binary.sum(axis=1).astype(np.float64)
     cols = binary.sum(axis=0).astype(np.float64)
-    # require a clear margin before claiming sideways: near-square content
-    # (single glyphs) gives no signal and must default PAGE_UP, mirroring
-    # the reference's default-on-ambiguity (enums.rs:126-134)
-    return 90 if cols.var() > 2.0 * rows.var() else 0
+    sideways = cols.var() > 2.0 * rows.var()
+    if sideways:
+        cand = ((90, np.rot90(binary, k=-1)), (270, np.rot90(binary, k=1)))
+    else:
+        cand = ((0, binary), (180, np.rot90(binary, k=2)))
+    (deg_a, bin_a), (deg_b, bin_b) = cand
+    score_a = _orient_score(bin_a)
+    score_b = _orient_score(bin_b)
+    if score_b > score_a + _ORIENT_MARGIN:
+        deg, score, other = deg_b, score_b, score_a
+    else:
+        deg, score, other = deg_a, score_a, score_b
+    conf = round(max(0.0, min(100.0, score - other)), 4)
+    # script vote: the winning strip's decode confidence IS the Latin-atlas
+    # match quality (one script family in the embedded model set)
+    script_conf = round(score, 4)
+    return deg, conf, SCRIPT_LATIN, script_conf
+
+
+def osd_orientation(binary: np.ndarray) -> int:
+    """Orientation in degrees ccw (0/90/180/270) — detect_os, orientation
+    channel only."""
+    return detect_os(binary)[0]
 
 
 def _prepare(payload):
@@ -565,12 +632,13 @@ def extract_raster_doc(
 
     t = otsu_threshold(img)
     binary = img <= t
-    # OSD auto-rotation: sideways pages are rotated upright before layout
-    # analysis (detect_os -> orientation, api.rs:599-629; the reference's
-    # AUTO_OSD PSM path).  The reported orientation is the DETECTED one.
-    detected_orientation = osd_orientation(binary)
-    if detected_orientation == 90:
-        binary = np.rot90(binary, k=-1)
+    # OSD auto-rotation: rotated pages (90/180/270 ccw) are rotated upright
+    # before layout analysis (detect_os -> orientation, api.rs:599-629; the
+    # reference's AUTO_OSD PSM path).  The reported orientation is the
+    # DETECTED one.
+    detected_orientation, orient_conf, script, script_conf = detect_os(binary)
+    if detected_orientation:
+        binary = np.rot90(binary, k=-(detected_orientation // 90))
     # small-angle deskew (orientation tuple's deskew channel): the
     # correction rotates by the NEGATED estimate
     skew = estimate_skew_deg(binary)
@@ -619,7 +687,18 @@ def extract_raster_doc(
     confs = [w[5] for w in words]
     mean_conf = int(round(float(np.mean(confs)))) if confs else 0
     return RasterResult(
-        STATUS_OK, text, words, t, detected_orientation, skew, n_comp, mean_conf, []
+        STATUS_OK,
+        text,
+        words,
+        t,
+        detected_orientation,
+        skew,
+        n_comp,
+        mean_conf,
+        [],
+        orientation_conf=orient_conf,
+        script=script,
+        script_conf=script_conf,
     )
 
 
@@ -634,12 +713,15 @@ def render_page(
     lines_per_para: int = 3,
     bpp: int = 1,
     pad: int = 0,
+    rotate: int = 0,
 ) -> bytes:
     """Rasterize space-separated text with the shared geometry constants.
     Layout: ``words_per_line`` words per line, ``lines_per_para`` lines per
     paragraph.  Unknown charset characters are skipped (whitelist-by-
     construction).  ``pad`` adds stride padding (bpl > w*bpp) to exercise
-    the stride-handling path of decode."""
+    the stride-handling path of decode.  ``rotate`` (0/90/180/270, degrees
+    counterclockwise) rotates the finished page — the OSD fixture
+    (detect_os expectations, /root/reference/src/api.rs:599-629)."""
     words = [
         "".join(ch for ch in w if ch in ATLAS) for w in text.split(" ") if w
     ]
@@ -676,6 +758,9 @@ def render_page(
                 x += ADVANCE
             x += WORD_GAP - 2  # back out the trailing intra-word advance gap
         # (x now one word-gap past the line's right edge; unused)
+    if rotate:
+        img = np.ascontiguousarray(np.rot90(img, k=(rotate % 360) // 90))
+        height, width = img.shape
     bpl = width * bpp + pad
     if bpp == 3:
         payload = np.repeat(img[:, :, None], 3, axis=2).reshape(height, width * 3)

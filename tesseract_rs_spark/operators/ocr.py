@@ -75,6 +75,61 @@ def ocr_text(
     return pages.select(*id_cols, payload_col).mapInPandas(gen, schema=schema)
 
 
+OCR_OSD_FIELDS = (
+    "status string, orientation_deg long, orientation_conf double, "
+    "script string, script_conf double, writing_direction string, "
+    "textline_order string, deskew_deg double, text string"
+)
+
+
+def ocr_osd(
+    pages: DataFrame,
+    cfg: ExtractConfig | None = None,
+    id_cols: Sequence[str] = ("url",),
+    payload_col: str = "html",
+) -> DataFrame:
+    """Orientation & script detection surface — the detect_os /
+    orientation-tuple analog (/root/reference/src/api.rs:599-629,
+    page_iterator.rs:182-217): per page (orientation 0/90/180/270 ccw +
+    confidence, script + confidence, writing_direction, textline_order,
+    deskew angle) plus the auto-rotated decode text, so byte-exact
+    extraction under rotation is part of the oracle surface."""
+    cfg = cfg or ExtractConfig()
+    wl = cfg.char_whitelist
+    schema = _id_schema(pages, id_cols) + ", " + OCR_OSD_FIELDS
+    id_cols = tuple(id_cols)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            results = [
+                extract_raster_doc(p, whitelist=wl, timeout_ms=cfg.page_timeout_ms)
+                for p in pdf[payload_col]
+            ]
+            out = {c: pdf[c].to_numpy() for c in id_cols}
+            out["status"] = [r.status for r in results]
+            out["orientation_deg"] = pd.array(
+                [r.orientation_deg for r in results], dtype="int64"
+            )
+            out["orientation_conf"] = pd.array(
+                [r.orientation_conf for r in results], dtype="float64"
+            )
+            out["script"] = [r.script for r in results]
+            out["script_conf"] = pd.array(
+                [r.script_conf for r in results], dtype="float64"
+            )
+            out["writing_direction"] = [r.writing_direction for r in results]
+            out["textline_order"] = [r.textline_order for r in results]
+            out["deskew_deg"] = pd.array(
+                [r.deskew_deg for r in results], dtype="float64"
+            )
+            out["text"] = [r.text for r in results]
+            yield pd.DataFrame(out)
+
+    return pages.select(*id_cols, payload_col).mapInPandas(gen, schema=schema)
+
+
 OCR_SYMBOL_FIELDS = (
     "para_id long, line_id long, word_id long, symbol_id long, glyph string, "
     "conf double, choices array<struct<glyph: string, conf: double>>"

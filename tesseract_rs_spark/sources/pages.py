@@ -68,27 +68,38 @@ def raster_pages_from_documents(
     docs: DataFrame,
     words_per_line: int = 8,
     lines_per_para: int = 3,
+    rotate_mod4: bool = False,
 ) -> DataFrame:
     """documents -> PAGE-raster pages (FIXTURES.md §1.1 binary layout):
     each document's text rasterized with the shared geometry constants, so
-    OCR goldens (text AND pixel bboxes) are knowable in closed form."""
+    OCR goldens (text AND pixel bboxes) are knowable in closed form.
+
+    ``rotate_mod4`` rotates page ``doc_id`` by ``(doc_id % 4) * 90``
+    degrees ccw — the OSD fixture (expected orientation is knowable in
+    SQL: ``(doc_id % 4) * 90``)."""
     from tesseract_rs_spark.kernels.raster import render_page
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
+            ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "doc_id": ids,
                     "url": [
                         page_url(int(d), l)
                         for d, l in zip(pdf["doc_id"], pdf["lang"])
                     ],
                     "warc_ts": [page_ts(int(d)) for d in pdf["doc_id"]],
                     "html": [
-                        render_page(t, words_per_line, lines_per_para)
-                        for t in pdf["text"]
+                        render_page(
+                            t,
+                            words_per_line,
+                            lines_per_para,
+                            rotate=(int(d) % 4) * 90 if rotate_mod4 else 0,
+                        )
+                        for d, t in zip(ids, pdf["text"])
                     ],
                     "text": pdf["text"],
                     "lang": pdf["lang"],

@@ -86,11 +86,17 @@ class TestKernels:
             assert n == 1, f"glyph {c!r} not connected"
 
     def test_orientation(self):
+        import numpy as np
+
         page = render_page(TEXT)
         img, _ = decode_page(page)
         t = otsu_threshold(img)
-        assert osd_orientation(img <= t) == 0
-        assert osd_orientation((img <= t).T) == 90
+        binary = img <= t
+        # all four true rotations detected (detect_os analog,
+        # /root/reference/src/api.rs:599-629; expected values mirror
+        # tests/test_iterators.rs:462-487 PAGE_UP defaults)
+        for rot in (0, 90, 180, 270):
+            assert osd_orientation(np.rot90(binary, k=rot // 90)) == rot
 
 
 class TestGolden:
