@@ -55,7 +55,13 @@ from tesseract_rs_spark.operators.ocr import (
     ocr_text,
     ocr_words,
 )
-from tesseract_rs_spark.operators.renderers import render_tsv, render_unlv
+from tesseract_rs_spark.operators.renderers import (
+    render_lstm_box,
+    render_tsv,
+    render_tsv_raster,
+    render_unlv,
+    render_wordstr_box,
+)
 from tesseract_rs_spark.sources.pages import (
     pages_from_documents,
     raster_pages_from_documents,
@@ -151,11 +157,32 @@ def _q_render_unlv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_render_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # span offsets are render-template arithmetic — not reasonably
-    # SQL-expressible, so this query takes the rows-only check
+    # raster-path TSV: pixel boxes are closed-form render arithmetic, so
+    # the full TSV string has an exact SQL oracle (get_tsv_text,
+    # /root/reference/src/api.rs:357-370; tests/test_e2e.rs:47)
+    pages = raster_pages_from_documents(_docs(spark, sf_dir), WPL, LPP)
+    words = ocr_words(pages, id_cols=("doc_id",))
+    return render_tsv_raster(words, key="doc_id")
+
+
+def _q_render_tsv_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HTML-path TSV over the span axis: span offsets are render-template
+    # arithmetic -> rows-only check
     pages = pages_from_documents(_docs(spark, sf_dir), para_words=PARA_WORDS)
     words = extract_words(pages, id_cols=("doc_id",))
     return render_tsv(words, key="doc_id")
+
+
+def _q_render_lstm_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = raster_pages_from_documents(_docs(spark, sf_dir), WPL, LPP)
+    words = ocr_words(pages, id_cols=("doc_id",))
+    return render_lstm_box(words, key="doc_id")
+
+
+def _q_render_wordstr_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = raster_pages_from_documents(_docs(spark, sf_dir), WPL, LPP)
+    words = ocr_words(pages, id_cols=("doc_id",))
+    return render_wordstr_box(words, key="doc_id")
 
 
 # --- raster-OCR path (PAGE binary format, kernels/raster.py) ---
@@ -369,6 +396,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_whitelist": _q_extract_text_whitelist,
         "render_unlv": _q_render_unlv,
         "render_tsv": _q_render_tsv,
+        "render_tsv_spans": _q_render_tsv_spans,
+        "render_lstm_box": _q_render_lstm_box,
+        "render_wordstr_box": _q_render_wordstr_box,
         "ocr_text": _q_ocr_text,
         "ocr_words": _q_ocr_words,
         "ocr_metrics": _q_ocr_metrics,
@@ -479,7 +509,83 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, string_agg(para, {nl} ORDER BY pid) AS unlv
         FROM paras GROUP BY doc_id
         """,
-        # render_tsv: rows-only check (span offsets are render arithmetic)
+        # render_tsv_spans: rows-only check (span offsets are source-char
+        # render arithmetic); the raster-path render_tsv below is exact
+        "render_tsv": _WORDS_CTE
+        + f"""
+        , geo AS (
+          SELECT doc_id, w, wid,
+                 (wid - 1) // {WPL} AS li,
+                 CAST((wid - 1) % {WPL} AS BIGINT) AS word_id,
+                 16 + COALESCE(SUM(18 * length(w) + 12) OVER (
+                      PARTITION BY doc_id, (wid - 1) // {WPL}
+                      ORDER BY wid
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS left_px
+          FROM words
+        ),
+        tsv_lines AS (
+          SELECT doc_id, wid,
+                 '5' || chr(9) || '1' || chr(9) || '0' || chr(9)
+                 || CAST(li // {LPP} AS VARCHAR) || chr(9)
+                 || CAST(li % {LPP} AS VARCHAR) || chr(9)
+                 || CAST(word_id AS VARCHAR) || chr(9)
+                 || CAST(left_px AS VARCHAR) || chr(9)
+                 || CAST(16 + li * 36 + (li // {LPP}) * 24 AS VARCHAR) || chr(9)
+                 || CAST(18 * length(w) - 2 AS VARCHAR) || chr(9)
+                 || '24' || chr(9) || '100' || chr(9) || w AS line
+          FROM geo
+        )
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY wid) AS tsv
+        FROM tsv_lines GROUP BY doc_id
+        """,
+        "render_lstm_box": _WORDS_CTE
+        + f"""
+        , geo AS (
+          SELECT doc_id, w, wid,
+                 (wid - 1) // {WPL} AS li,
+                 16 + COALESCE(SUM(18 * length(w) + 12) OVER (
+                      PARTITION BY doc_id, (wid - 1) // {WPL}
+                      ORDER BY wid
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS left_px
+          FROM words
+        ),
+        syms AS (
+          SELECT doc_id, wid, li, left_px,
+                 generate_subscripts(string_split(w, ''), 1) - 1 AS sid,
+                 unnest(string_split(w, '')) AS glyph
+          FROM geo
+        )
+        SELECT doc_id,
+               string_agg(
+                 glyph || ' '
+                 || CAST(left_px + sid * 18 AS VARCHAR) || ' '
+                 || CAST(16 + li * 36 + (li // {LPP}) * 24 AS VARCHAR) || ' '
+                 || CAST(left_px + sid * 18 + 16 AS VARCHAR) || ' '
+                 || CAST(16 + li * 36 + (li // {LPP}) * 24 + 24 AS VARCHAR)
+                 || ' 0',
+                 chr(10) ORDER BY wid, sid) AS lstm_box
+        FROM syms GROUP BY doc_id
+        """,
+        "render_wordstr_box": _WORDS_CTE
+        + f"""
+        , lines AS (
+          SELECT doc_id, (wid - 1) // {WPL} AS li,
+                 SUM(18 * length(w) + 12) - 14 AS width,
+                 string_agg(w, ' ' ORDER BY wid) AS line_text
+          FROM words GROUP BY doc_id, li
+        )
+        SELECT doc_id,
+               string_agg(
+                 'WordStr 16 '
+                 || CAST(16 + li * 36 + (li // {LPP}) * 24 AS VARCHAR) || ' '
+                 || CAST(16 + width AS VARCHAR) || ' '
+                 || CAST(16 + li * 36 + (li // {LPP}) * 24 + 24 AS VARCHAR)
+                 || ' 0 #' || line_text,
+                 chr(10) ORDER BY li) AS wordstr_box
+        FROM lines GROUP BY doc_id
+        """,
         "ocr_text": _WORDS_CTE
         + f"""
         , lines AS (

@@ -55,6 +55,116 @@ def render_tsv(words: DataFrame, key: str = "url") -> DataFrame:
     return _ordered_doc_concat(words, key, line).withColumnRenamed("text", "tsv")
 
 
+def render_tsv_raster(words: DataFrame, key: str = "url") -> DataFrame:
+    """TSV renderer over the RASTER word table (real pixel boxes) — the
+    get_tsv_text surface (/root/reference/src/api.rs:357-370) with the
+    reference TSV column order: level, page_num, block_num, par_num,
+    line_num, word_num, left, top, width, height, conf, text.  Level 5 =
+    word, page 1; ids are the engine's 0-based reading-order ids."""
+    line = F.format_string(
+        "5\t1\t%d\t%d\t%d\t%d\t%d\t%d\t%d\t%d\t%d\t%s",
+        F.col("block_id"),
+        F.col("para_id"),
+        F.col("line_id"),
+        F.col("word_id"),
+        F.col("left"),
+        F.col("top"),
+        F.col("right") - F.col("left"),
+        F.col("bottom") - F.col("top"),
+        F.col("conf").cast("long"),
+        F.col("word"),
+    )
+    return _ordered_doc_concat(words, key, line).withColumnRenamed("text", "tsv")
+
+
+def render_lstm_box(words: DataFrame, key: str = "url") -> DataFrame:
+    """LSTM box renderer (get_lstm_box_text analog,
+    /root/reference/src/api.rs:491-504): one line per SYMBOL,
+    ``char left top right bottom page`` derived from the word box and the
+    fixed glyph pitch (symbol k spans
+    [left + k*ADVANCE, left + k*ADVANCE + GLYPH_W)).  Coordinates are
+    top-left origin (the engine's page space; documented deviation from
+    Tesseract's bottom-left box files)."""
+    from tesseract_rs_spark.kernels.raster import ADVANCE, GLYPH_W
+
+    sym = words.select(
+        key,
+        "block_id",
+        "para_id",
+        "line_id",
+        "word_id",
+        "top",
+        "bottom",
+        F.col("left").alias("_wleft"),
+        F.posexplode(F.split("word", "")).alias("symbol_id", "glyph"),
+    ).filter(F.col("glyph") != "")
+    line = F.format_string(
+        "%s %d %d %d %d 0",
+        F.col("glyph"),
+        F.col("_wleft") + F.col("symbol_id") * ADVANCE,
+        F.col("top"),
+        F.col("_wleft") + F.col("symbol_id") * ADVANCE + GLYPH_W,
+        F.col("bottom"),
+    )
+    rendered = sym.withColumn("_line", line)
+    return rendered.groupBy(key).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "block_id", "para_id", "line_id", "word_id",
+                            "symbol_id", "_line",
+                        )
+                    )
+                ),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("lstm_box")
+    )
+
+
+def render_wordstr_box(words: DataFrame, key: str = "url") -> DataFrame:
+    """WordStr box renderer (get_word_str_box_text analog,
+    /root/reference/src/api.rs:515-528): one line per TEXT LINE,
+    ``WordStr left top right bottom 0 #text`` with the line's bounding box
+    and its words joined after ``#`` (top-left origin, as above)."""
+    lines = words.groupBy(key, "block_id", "para_id", "line_id").agg(
+        F.min("left").alias("_l"),
+        F.min("top").alias("_t"),
+        F.max("right").alias("_r"),
+        F.max("bottom").alias("_b"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("word_id", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("_text"),
+    )
+    rendered = lines.withColumn(
+        "_line",
+        F.format_string(
+            "WordStr %d %d %d %d 0 #%s",
+            F.col("_l"), F.col("_t"), F.col("_r"), F.col("_b"), F.col("_text"),
+        ),
+    )
+    return rendered.groupBy(key).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("block_id", "para_id", "line_id", "_line")
+                    )
+                ),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("wordstr_box")
+    )
+
+
 def render_hocr(words: DataFrame, key: str = "url") -> DataFrame:
     """hOCR renderer (new_hocr_renderer analog,
     /root/reference/src/result_renderer.rs:46-56; output carries ocr_page /
