@@ -234,6 +234,21 @@ def _q_ocr_osd(spark, sf_dir):
     )
 
 
+def _q_ocr_multilang(spark, sf_dir):
+    """Mixed-language pages (every 3rd word rendered with the tur atlas)
+    decoded with the joint "eng+tur" model: per-word text AND winning
+    recognition language, both SQL-expressible
+    (/root/reference/tests/integration_test.rs:91-120,
+    src/result_iterator.rs:78-89)."""
+    pages = raster_pages_from_documents(
+        _docs(spark, sf_dir), WPL, LPP, tur_every=3
+    )
+    cfg = ExtractConfig(lang="eng+tur")
+    return ocr_words(pages, cfg, id_cols=("doc_id",), include_lang=True).select(
+        "doc_id", "para_id", "line_id", "word_id", "word", "word_lang"
+    )
+
+
 def _q_multipage_text(spark, sf_dir):
     """process_pages analog: documents split into two half-word pages,
     extracted independently, reassembled with '\\f' in page order."""
@@ -405,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_symbols": _q_ocr_symbols,
         "ocr_layout": _q_ocr_layout,
         "ocr_osd": _q_ocr_osd,
+        "ocr_multilang": _q_ocr_multilang,
         "multipage_text": _q_multipage_text,
         "text_stats": _q_text_stats,
         "quality_score": _q_quality_score,
@@ -672,6 +688,16 @@ def oracle_sql() -> dict[str, str]:
                'left' AS justification,
                CAST(0 AS BIGINT) AS first_line_indent
         FROM lines GROUP BY doc_id, pi
+        """,
+        "ocr_multilang": _WORDS_CTE
+        + f"""
+        SELECT doc_id,
+               CAST((wid - 1) // {WPL} // {LPP} AS BIGINT) AS para_id,
+               CAST((wid - 1) // {WPL} % {LPP} AS BIGINT) AS line_id,
+               CAST((wid - 1) % {WPL} AS BIGINT) AS word_id,
+               w AS word,
+               CASE WHEN (wid - 1) % 3 = 0 THEN 'tur' ELSE 'eng' END AS word_lang
+        FROM words
         """,
         "ocr_osd": _WORDS_CTE
         + f"""

@@ -89,6 +89,13 @@ class ExtractConfig:
             kwargs["page_timeout_ms"] = int(value)
         return replace(self, **kwargs)
 
+    @property
+    def langs(self) -> tuple:
+        """Joint-recognition language list — ``lang="eng+tur"`` decodes
+        every word against both models and keeps the best
+        (/root/reference/tests/integration_test.rs:91-120)."""
+        return tuple(self.lang.split("+"))
+
     def get_variable(self, name: str) -> str:
         """Typed variable read; unknown name is an error, mirroring
         get_*_variable (/root/reference/src/api.rs:164-248,

@@ -86,6 +86,42 @@ _ATLAS_STACK = np.stack([ATLAS[c] for c in CHARSET])  # (n_chars, 24, 16)
 _ATLAS_FLAT = _ATLAS_STACK.reshape(len(CHARSET), -1).astype(np.int16)
 
 
+def _tur_glyph_mask(index: int) -> np.ndarray:
+    """Second language model ("tur" of the reference's "tur+eng" joint
+    init, /root/reference/tests/integration_test.rs:91-120): spines on
+    BOTH edges, strokes between them.  Design constraints: (a) ink touches
+    cell columns 0 and 15, so glyph-cell alignment, word gaps, and pixel
+    bounding boxes are identical to the eng atlas (mixed pages share one
+    geometry oracle); (b) >=48 px Hamming distance from every eng glyph
+    (extra spine), so the per-word language vote is unambiguous; (c) NOT a
+    180-degree rotation of any eng glyph (rot180 keeps both spines but no
+    eng template has a right spine), so orientation detection stays
+    sound; (d) one connected component per glyph."""
+    m = np.zeros((GLYPH_H, GLYPH_W), dtype=bool)
+    m[:, 0:2] = True
+    m[:, GLYPH_W - 2 : GLYPH_W] = True
+    code = index + 1
+    for bit in range(6):
+        if code & (1 << bit):
+            m[bit * 4 : bit * 4 + 4, 2 : GLYPH_W - 2] = True
+    return m
+
+
+ATLAS_TUR = {c: _tur_glyph_mask(i) for i, c in enumerate(CHARSET)}
+_ATLAS_FLAT_TUR = np.stack([ATLAS_TUR[c] for c in CHARSET]).reshape(
+    len(CHARSET), -1
+).astype(np.int16)
+
+# language -> (templates, per-template ink sums); the embedded-model
+# registry (init_embedded / embedded_languages, api.rs via SURVEY §2.1)
+LANG_ATLASES = {
+    "eng": _ATLAS_FLAT,
+    "tur": _ATLAS_FLAT_TUR,
+}
+_ALL_LANG_FLAT = np.concatenate(list(LANG_ATLASES.values()), axis=0)
+_ALL_LANG_FLAT_SUMS = _ALL_LANG_FLAT.sum(axis=1).astype(np.int32)
+
+
 @dataclass
 class RasterResult:
     status: str
@@ -297,12 +333,17 @@ def fit_baseline(glyphs) -> int:
 
 
 _ATLAS_SUMS = _ATLAS_FLAT.sum(axis=1).astype(np.int32)  # ink per template
+LANG_SUMS = {
+    lang: flat.sum(axis=1).astype(np.int32) for lang, flat in LANG_ATLASES.items()
+}
 
 
-def _word_glyph_dists(binary: np.ndarray, box, allowed_idx) -> np.ndarray:
+def _word_glyph_dists(
+    binary: np.ndarray, box, allowed_idx, lang: str = "eng"
+) -> np.ndarray:
     """(n_glyphs, n_allowed) Hamming distances between the word's fixed-
-    pitch cells and the (whitelist-restricted) atlas, as ONE matmul:
-    |a XOR c| = |a| + |c| - 2*(a.c) for binary masks."""
+    pitch cells and the (whitelist-restricted) atlas of ``lang``, as ONE
+    matmul: |a XOR c| = |a| + |c| - 2*(a.c) for binary masks."""
     l, t, r, _btm, _ = box
     region = binary[t : t + GLYPH_H, l:r]
     n_glyphs = max(1, int(round((r - l + 2) / ADVANCE)))
@@ -313,9 +354,9 @@ def _word_glyph_dists(binary: np.ndarray, box, allowed_idx) -> np.ndarray:
     buf = buf[:, : n_glyphs * ADVANCE]
     cells = buf.reshape(GLYPH_H, n_glyphs, ADVANCE).transpose(1, 0, 2)[:, :, :GLYPH_W]
     flat = cells.reshape(n_glyphs, -1).astype(np.int32)
-    templates = _ATLAS_FLAT[allowed_idx].astype(np.int32)
+    templates = LANG_ATLASES[lang][allowed_idx].astype(np.int32)
     dots = flat @ templates.T
-    return _ATLAS_SUMS[allowed_idx][None, :] + flat.sum(axis=1)[:, None] - 2 * dots
+    return LANG_SUMS[lang][allowed_idx][None, :] + flat.sum(axis=1)[:, None] - 2 * dots
 
 
 def _allowed_indices(whitelist: set | None):
@@ -326,7 +367,9 @@ def _allowed_indices(whitelist: set | None):
     )
 
 
-def decode_word(binary: np.ndarray, box, whitelist: set | None) -> tuple:
+def decode_word(
+    binary: np.ndarray, box, whitelist: set | None, lang: str = "eng"
+) -> tuple:
     """Fixed-pitch template decode of one word region -> (text, conf).
     Exact mask match = conf 100; otherwise nearest by Hamming distance
     (decode-mask semantics: whitelist restricts the template set,
@@ -334,13 +377,30 @@ def decode_word(binary: np.ndarray, box, whitelist: set | None) -> tuple:
     allowed = _allowed_indices(whitelist)
     if len(allowed) == 0:
         return "", 0.0
-    dists = _word_glyph_dists(binary, box, allowed)
+    dists = _word_glyph_dists(binary, box, allowed, lang)
     best = dists.argmin(axis=1)
     cell_size = GLYPH_H * GLYPH_W
     best_d = dists[np.arange(len(best)), best]
     chars = "".join(CHARSET[allowed[j]] for j in best)
     conf = float((100.0 * (1.0 - best_d / cell_size)).mean())
     return chars, conf
+
+
+def decode_word_langs(
+    binary: np.ndarray, box, whitelist: set | None, langs: tuple
+) -> tuple:
+    """Joint multi-language decode (the "tur+eng" init,
+    /root/reference/tests/integration_test.rs:91-120): decode against each
+    language's atlas, keep the highest-confidence reading, and report the
+    winning model — the word_recognition_language channel
+    (/root/reference/src/result_iterator.rs:78-89).  Ties keep the first
+    listed language."""
+    best = None
+    for lang in langs:
+        chars, conf = decode_word(binary, box, whitelist, lang)
+        if best is None or conf > best[1] + 1e-9:
+            best = (chars, conf, lang)
+    return best if best is not None else ("", 0.0, langs[0])
 
 
 def decode_word_choices(
@@ -493,7 +553,9 @@ def _orient_score(binary: np.ndarray, max_glyphs: int = 12) -> float:
         patch = strip[t : t + GLYPH_H, l : l + GLYPH_W]
         cell[: patch.shape[0], : patch.shape[1]] = patch
         flat = cell.reshape(1, -1).astype(np.int16)
-        dists = _ATLAS_SUMS + flat.sum() - 2 * (flat @ _ATLAS_FLAT.T)[0]
+        # vote against EVERY embedded language model (mixed-language pages
+        # must score as upright as monolingual ones)
+        dists = _ALL_LANG_FLAT_SUMS + flat.sum() - 2 * (flat @ _ALL_LANG_FLAT.T)[0]
         confs.append(100.0 * (1.0 - dists.min() / cell_size))
     return float(np.mean(confs))
 
@@ -615,7 +677,10 @@ def thresholded_image(payload) -> tuple:
 
 
 def extract_raster_doc(
-    payload, whitelist: str | None = None, timeout_ms: int | None = None
+    payload,
+    whitelist: str | None = None,
+    timeout_ms: int | None = None,
+    langs: tuple = ("eng",),
 ) -> RasterResult:
     img, status = decode_page(payload)
     if status != STATUS_OK:
@@ -657,7 +722,11 @@ def extract_raster_doc(
                 "timeout", "", [], t, 0, 0.0, n_comp, 0, [(0, len(payload))]
             )
         for word_id, box in enumerate(boxes):
-            text, conf = decode_word(binary, box, wl)
+            if len(langs) > 1:
+                text, conf, wlang = decode_word_langs(binary, box, wl, langs)
+            else:
+                text, conf = decode_word(binary, box, wl, langs[0])
+                wlang = langs[0]
             if not text:
                 continue
             baseline_y = fit_baseline(box[4])
@@ -674,6 +743,7 @@ def extract_raster_doc(
                     box[2],
                     box[3],
                     baseline_y,
+                    wlang,
                 )
             )
             lines_text.setdefault((para_id, line_id), []).append(text)
@@ -714,6 +784,7 @@ def render_page(
     bpp: int = 1,
     pad: int = 0,
     rotate: int = 0,
+    tur_every: int | None = None,
 ) -> bytes:
     """Rasterize space-separated text with the shared geometry constants.
     Layout: ``words_per_line`` words per line, ``lines_per_para`` lines per
@@ -721,7 +792,10 @@ def render_page(
     construction).  ``pad`` adds stride padding (bpl > w*bpp) to exercise
     the stride-handling path of decode.  ``rotate`` (0/90/180/270, degrees
     counterclockwise) rotates the finished page — the OSD fixture
-    (detect_os expectations, /root/reference/src/api.rs:599-629)."""
+    (detect_os expectations, /root/reference/src/api.rs:599-629).
+    ``tur_every=k`` renders every k-th word (0-based global index % k == 0)
+    with the "tur" atlas — the mixed-language fixture for the "tur+eng"
+    joint-recognition path (tests/integration_test.rs:91-120)."""
     words = [
         "".join(ch for ch in w if ch in ATLAS) for w in text.split(" ") if w
     ]
@@ -745,6 +819,7 @@ def render_page(
     yy, xx = np.mgrid[0:height, 0:width]
     img = (img + ((xx * 7 + yy * 13) % 17) % 8 - 4).astype(np.uint8)
     y = MARGIN
+    widx = 0
     for li, line in enumerate(lines):
         if li > 0:
             y += LINE_PITCH
@@ -752,8 +827,14 @@ def render_page(
                 y += PARA_EXTRA
         x = MARGIN
         for w in line:
+            atlas = (
+                ATLAS_TUR
+                if tur_every is not None and widx % tur_every == 0
+                else ATLAS
+            )
+            widx += 1
             for ch in w:
-                mask = ATLAS[ch]
+                mask = atlas[ch]
                 img[y : y + GLYPH_H, x : x + GLYPH_W][mask] = INK
                 x += ADVANCE
             x += WORD_GAP - 2  # back out the trailing intra-word advance gap

@@ -263,15 +263,22 @@ def ocr_words(
     cfg: ExtractConfig | None = None,
     id_cols: Sequence[str] = ("url",),
     payload_col: str = "html",
+    include_lang: bool = False,
 ) -> DataFrame:
+    """``include_lang`` appends the per-word winning recognition model —
+    the word_recognition_language channel
+    (/root/reference/src/result_iterator.rs:78-89)."""
     cfg = cfg or ExtractConfig()
     wl = cfg.char_whitelist
+    langs = cfg.langs
     schema = _id_schema(pages, id_cols) + ", " + OCR_WORD_FIELDS
+    if include_lang:
+        schema += ", word_lang string"
     id_cols = tuple(id_cols)
     keys = (
         "block_id", "para_id", "line_id", "word_id", "word", "conf",
         "left", "top", "right", "bottom", "baseline_y",
-    )
+    ) + (("word_lang",) if include_lang else ())
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -280,7 +287,9 @@ def ocr_words(
             # vectorized explode: one C-speed list.extend per doc, ONE
             # zip-transpose per batch, np.repeat for the id columns
             docs = [
-                extract_raster_doc(p, whitelist=wl, timeout_ms=cfg.page_timeout_ms)
+                extract_raster_doc(
+                    p, whitelist=wl, timeout_ms=cfg.page_timeout_ms, langs=langs
+                )
                 for p in pdf[payload_col]
             ]
             counts = np.fromiter(
@@ -294,7 +303,7 @@ def ocr_words(
                 rows.extend(r.words)
             t = list(zip(*rows)) if rows else [[]] * len(keys)
             for i, k in enumerate(keys):
-                if k == "word":
+                if k in ("word", "word_lang"):
                     out[k] = list(t[i])
                 elif k == "conf":
                     out[k] = np.asarray(t[i], dtype=np.float64)

@@ -69,6 +69,7 @@ def raster_pages_from_documents(
     words_per_line: int = 8,
     lines_per_para: int = 3,
     rotate_mod4: bool = False,
+    tur_every: int | None = None,
 ) -> DataFrame:
     """documents -> PAGE-raster pages (FIXTURES.md §1.1 binary layout):
     each document's text rasterized with the shared geometry constants, so
@@ -98,6 +99,7 @@ def raster_pages_from_documents(
                             words_per_line,
                             lines_per_para,
                             rotate=(int(d) % 4) * 90 if rotate_mod4 else 0,
+                            tur_every=tur_every,
                         )
                         for d, t in zip(ids, pdf["text"])
                     ],

@@ -186,3 +186,48 @@ class TestGolden:
         )[:, :w].astype(bool)
         img, _ = decode_page(page)
         assert np.array_equal(unpacked, img <= t)
+
+
+class TestMultilang:
+    """Joint "eng+tur" recognition (reference
+    tests/integration_test.rs:91-120; word_recognition_language,
+    src/result_iterator.rs:78-89)."""
+
+    def test_mixed_page_decodes_exact_with_per_word_lang(self):
+        from tesseract_rs_spark.kernels.raster import (
+            extract_raster_doc,
+            golden_raster_text,
+            render_page,
+        )
+
+        text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        r = extract_raster_doc(render_page(text, tur_every=3), langs=("eng", "tur"))
+        assert r.text == golden_raster_text(text)
+        assert r.mean_conf == 100
+        assert [w[11] for w in r.words] == [
+            "tur" if i % 3 == 0 else "eng" for i in range(len(r.words))
+        ]
+
+    def test_atlases_are_not_rotations_of_each_other(self):
+        """Design invariant: no tur glyph equals any eng glyph rotated
+        0 or 180 degrees (else orientation detection would be blind)."""
+        import numpy as np
+
+        from tesseract_rs_spark.kernels.raster import ATLAS, ATLAS_TUR
+
+        eng = np.stack(list(ATLAS.values()))
+        for m in ATLAS_TUR.values():
+            assert (m != eng).any(axis=(1, 2)).all()
+            rot = np.rot90(m, 2)
+            assert (rot != eng).any(axis=(1, 2)).all()
+
+    def test_single_lang_cross_decode_confidence_gap(self):
+        """A tur word decoded with only the eng model must lose >=10
+        confidence points (the language vote's margin)."""
+        from tesseract_rs_spark.kernels.raster import extract_raster_doc, render_page
+
+        page = render_page("kappa", tur_every=1)
+        eng_only = extract_raster_doc(page, langs=("eng",))
+        joint = extract_raster_doc(page, langs=("eng", "tur"))
+        assert joint.mean_conf == 100
+        assert eng_only.mean_conf <= 90
