@@ -51,9 +51,11 @@ from tesseract_rs_spark.operators.multipage import process_pages
 from tesseract_rs_spark.operators.ocr import (
     ocr_layout,
     ocr_osd,
+    ocr_symbol_attrs,
     ocr_symbols,
     ocr_text,
     ocr_words,
+    word_font_attributes,
 )
 from tesseract_rs_spark.operators.renderers import (
     render_lstm_box,
@@ -249,6 +251,32 @@ def _q_ocr_multilang(spark, sf_dir):
     )
 
 
+def _q_ocr_symbol_attrs(spark, sf_dir):
+    """Pages with script marks (global word index: %5 -> last glyph
+    superscript, %7 -> subscript, %11 -> pixel-doubled drop cap; one line
+    per paragraph so drop caps have tail room): the per-symbol predicates
+    must recover the render rule exactly
+    (/root/reference/src/result_iterator.rs:171-203)."""
+    pages = raster_pages_from_documents(
+        _docs(spark, sf_dir), WPL, 1, sup_every=5, sub_every=7, drop_every=11
+    )
+    return ocr_symbol_attrs(pages, id_cols=("doc_id",)).select(
+        "doc_id", "para_id", "word_id", "symbol_id", "glyph",
+        "is_superscript", "is_subscript", "is_dropcap",
+    )
+
+
+def _q_ocr_font_attrs(spark, sf_dir):
+    """word_font_attributes (/root/reference/src/result_iterator.rs:96-138):
+    NULL style booleans by contract, pointsize from glyph-cell height."""
+    pages = raster_pages_from_documents(_docs(spark, sf_dir), WPL, LPP)
+    words = ocr_words(pages, id_cols=("doc_id",))
+    return word_font_attributes(words).select(
+        "doc_id", "para_id", "line_id", "word_id", "word",
+        "is_bold", "is_italic", "is_monospace", "pointsize", "font_id",
+    )
+
+
 def _q_multipage_text(spark, sf_dir):
     """process_pages analog: documents split into two half-word pages,
     extracted independently, reassembled with '\\f' in page order."""
@@ -421,6 +449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_layout": _q_ocr_layout,
         "ocr_osd": _q_ocr_osd,
         "ocr_multilang": _q_ocr_multilang,
+        "ocr_symbol_attrs": _q_ocr_symbol_attrs,
+        "ocr_font_attrs": _q_ocr_font_attrs,
         "multipage_text": _q_multipage_text,
         "text_stats": _q_text_stats,
         "quality_score": _q_quality_score,
@@ -688,6 +718,41 @@ def oracle_sql() -> dict[str, str]:
                'left' AS justification,
                CAST(0 AS BIGINT) AS first_line_indent
         FROM lines GROUP BY doc_id, pi
+        """,
+        "ocr_symbol_attrs": _WORDS_CTE
+        + f"""
+        , syms AS (
+          SELECT doc_id, wid, w,
+                 generate_subscripts(string_split(w, ''), 1) - 1 AS sid,
+                 unnest(string_split(w, '')) AS glyph
+          FROM words
+        )
+        SELECT doc_id,
+               CAST((wid - 1) // {WPL} AS BIGINT) AS para_id,
+               CAST((wid - 1) % {WPL} AS BIGINT) AS word_id,
+               CAST(sid AS BIGINT) AS symbol_id,
+               glyph,
+               ((wid - 1) % 5 = 0 AND length(w) >= 2 AND sid = length(w) - 1)
+                 AS is_superscript,
+               ((wid - 1) % 5 <> 0 AND (wid - 1) % 7 = 0
+                AND length(w) >= 2 AND sid = length(w) - 1) AS is_subscript,
+               ((wid - 1) % 5 <> 0 AND (wid - 1) % 7 <> 0
+                AND (wid - 1) % 11 = 0 AND sid = 0) AS is_dropcap
+        FROM syms
+        """,
+        "ocr_font_attrs": _WORDS_CTE
+        + f"""
+        SELECT doc_id,
+               CAST((wid - 1) // {WPL} // {LPP} AS BIGINT) AS para_id,
+               CAST((wid - 1) // {WPL} % {LPP} AS BIGINT) AS line_id,
+               CAST((wid - 1) % {WPL} AS BIGINT) AS word_id,
+               w AS word,
+               CAST(NULL AS BOOLEAN) AS is_bold,
+               CAST(NULL AS BOOLEAN) AS is_italic,
+               CAST(NULL AS BOOLEAN) AS is_monospace,
+               CAST(18 AS BIGINT) AS pointsize,
+               CAST(NULL AS BIGINT) AS font_id
+        FROM words
         """,
         "ocr_multilang": _WORDS_CTE
         + f"""

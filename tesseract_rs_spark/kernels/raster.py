@@ -45,6 +45,7 @@ GLYPH_W = 16
 GLYPH_H = 24
 ADVANCE = GLYPH_W + 2          # glyph pitch inside a word
 WORD_GAP = 14                  # ink-to-ink horizontal gap between words
+SCRIPT_OFFSET = 6              # super/subscript vertical offset (px)
 LINE_PITCH = GLYPH_H + 12      # line top-to-top distance within a paragraph
 PARA_EXTRA = 24                # additional gap between paragraphs (36 total)
 MARGIN = 16
@@ -338,22 +339,65 @@ LANG_SUMS = {
 }
 
 
+def _word_is_uniform(box) -> bool:
+    """True when every glyph of the word sits on the shared line top with
+    nominal height — the fast fixed-pitch decode path.  Vertically offset
+    glyphs (super/subscript) or oversized glyphs (drop caps) take the
+    per-component path."""
+    glyphs = box[4]
+    tops = [int(g[1]) for g in glyphs]
+    heights = [int(g[3]) - int(g[1]) for g in glyphs]
+    return max(tops) - min(tops) <= 2 and max(heights) <= GLYPH_H + 2
+
+
+def _glyph_cells_from_stats(binary: np.ndarray, glyphs_sorted) -> np.ndarray:
+    """(n_glyphs, GLYPH_H*GLYPH_W) int32 cells extracted at each
+    component's OWN bounding box (super/subscript offsets preserved);
+    drop-cap-sized components (height >= 1.5x nominal) are integer-
+    downsampled back to the nominal cell so they decode against the same
+    atlas (the reference classifier is likewise scale-normalized)."""
+    cells = []
+    for g in glyphs_sorted:
+        l, t, b = int(g[0]), int(g[1]), int(g[3])
+        h = b - t
+        if h >= GLYPH_H * 3 // 2:
+            s = max(1, round(h / GLYPH_H))
+            patch = binary[t:b:s, l : l + GLYPH_W * s : s]
+        else:
+            patch = binary[t : t + GLYPH_H, l : l + GLYPH_W]
+        cell = np.zeros((GLYPH_H, GLYPH_W), dtype=bool)
+        ph, pw = min(GLYPH_H, patch.shape[0]), min(GLYPH_W, patch.shape[1])
+        cell[:ph, :pw] = patch[:ph, :pw]
+        cells.append(cell.reshape(-1))
+    return np.stack(cells).astype(np.int32)
+
+
 def _word_glyph_dists(
     binary: np.ndarray, box, allowed_idx, lang: str = "eng"
 ) -> np.ndarray:
-    """(n_glyphs, n_allowed) Hamming distances between the word's fixed-
-    pitch cells and the (whitelist-restricted) atlas of ``lang``, as ONE
-    matmul: |a XOR c| = |a| + |c| - 2*(a.c) for binary masks."""
-    l, t, r, _btm, _ = box
-    region = binary[t : t + GLYPH_H, l:r]
-    n_glyphs = max(1, int(round((r - l + 2) / ADVANCE)))
-    # deskew residue can leave the box a pixel or two wider than the glyph
-    # budget — size the buffer to whichever is larger
-    buf = np.zeros((GLYPH_H, max(n_glyphs * ADVANCE, region.shape[1])), dtype=bool)
-    buf[: region.shape[0], : region.shape[1]] = region
-    buf = buf[:, : n_glyphs * ADVANCE]
-    cells = buf.reshape(GLYPH_H, n_glyphs, ADVANCE).transpose(1, 0, 2)[:, :, :GLYPH_W]
-    flat = cells.reshape(n_glyphs, -1).astype(np.int32)
+    """(n_glyphs, n_allowed) Hamming distances between the word's glyph
+    cells and the (whitelist-restricted) atlas of ``lang``, as ONE matmul:
+    |a XOR c| = |a| + |c| - 2*(a.c) for binary masks.  Uniform words use
+    fixed-pitch reshape slicing; words with offset/oversized glyphs fall
+    back to per-component cells."""
+    if not _word_is_uniform(box):
+        glyphs = sorted(box[4], key=lambda g: int(g[0]))
+        flat = _glyph_cells_from_stats(binary, glyphs)
+    else:
+        l, t, r, _btm, _ = box
+        region = binary[t : t + GLYPH_H, l:r]
+        n_glyphs = max(1, int(round((r - l + 2) / ADVANCE)))
+        # deskew residue can leave the box a pixel or two wider than the
+        # glyph budget — size the buffer to whichever is larger
+        buf = np.zeros(
+            (GLYPH_H, max(n_glyphs * ADVANCE, region.shape[1])), dtype=bool
+        )
+        buf[: region.shape[0], : region.shape[1]] = region
+        buf = buf[:, : n_glyphs * ADVANCE]
+        cells = buf.reshape(GLYPH_H, n_glyphs, ADVANCE).transpose(1, 0, 2)[
+            :, :, :GLYPH_W
+        ]
+        flat = cells.reshape(n_glyphs, -1).astype(np.int32)
     templates = LANG_ATLASES[lang][allowed_idx].astype(np.int32)
     dots = flat @ templates.T
     return LANG_SUMS[lang][allowed_idx][None, :] + flat.sum(axis=1)[:, None] - 2 * dots
@@ -625,6 +669,63 @@ def raster_symbols(payload, whitelist: str | None = None, k: int = 3):
     return status, rows
 
 
+def raster_symbol_attrs(payload, whitelist: str | None = None):
+    """Per-symbol typographic predicates — the
+    symbol_is_superscript/_subscript/_dropcap surface
+    (/root/reference/src/result_iterator.rs:171-203): (status, rows) with
+    rows (para_id, line_id, word_id, symbol_id, glyph, left, top, right,
+    bottom, is_superscript, is_subscript, is_dropcap).
+
+    The baseline reference is the LINE's modal glyph bottom (the row
+    baseline of page_iterator.rs:159-175); a symbol is super/subscript
+    when its bottom clears the baseline by more than half the script
+    offset, and a drop cap when its height is >= 1.5x the nominal glyph
+    height (the bbox-vs-baseline predicates the reference exposes)."""
+    binary, layout, status = _prepare(payload)
+    if status != STATUS_OK:
+        return status, []
+    wl = set(whitelist) if whitelist else None
+    allowed = _allowed_indices(wl)
+    if len(allowed) == 0:
+        return status, []
+    templates = _ATLAS_FLAT[allowed].astype(np.int32)
+    sums = _ATLAS_SUMS[allowed]
+    margin = SCRIPT_OFFSET // 2 + 1
+    rows = []
+    for para_id, line_id, boxes in layout:
+        line_bottoms = np.fromiter(
+            (int(g[3]) for b in boxes for g in b[4]), dtype=np.int64
+        )
+        base = int(np.bincount(line_bottoms).argmax())  # modal bottom
+        for word_id, box in enumerate(boxes):
+            glyphs = sorted(box[4], key=lambda g: int(g[0]))
+            flat = _glyph_cells_from_stats(binary, glyphs)
+            dists = sums[None, :] + flat.sum(axis=1)[:, None] - 2 * (flat @ templates.T)
+            best = dists.argmin(axis=1)
+            for sid, (g, j) in enumerate(zip(glyphs, best)):
+                bottom = int(g[3])
+                is_drop = bottom - int(g[1]) >= GLYPH_H * 3 // 2
+                is_sup = not is_drop and bottom <= base - margin
+                is_sub = not is_drop and bottom >= base + margin
+                rows.append(
+                    (
+                        para_id,
+                        line_id,
+                        word_id,
+                        sid,
+                        CHARSET[allowed[j]],
+                        int(g[0]),
+                        int(g[1]),
+                        int(g[2]),
+                        bottom,
+                        is_sup,
+                        is_sub,
+                        is_drop,
+                    )
+                )
+    return status, rows
+
+
 def raster_layout_blocks(payload):
     """Paragraph/block-level layout analysis (analyse_layout surface,
     api.rs:1353-1364): per paragraph (para_id, n_lines, n_words, left, top,
@@ -785,6 +886,9 @@ def render_page(
     pad: int = 0,
     rotate: int = 0,
     tur_every: int | None = None,
+    sup_every: int | None = None,
+    sub_every: int | None = None,
+    drop_every: int | None = None,
 ) -> bytes:
     """Rasterize space-separated text with the shared geometry constants.
     Layout: ``words_per_line`` words per line, ``lines_per_para`` lines per
@@ -795,7 +899,16 @@ def render_page(
     (detect_os expectations, /root/reference/src/api.rs:599-629).
     ``tur_every=k`` renders every k-th word (0-based global index % k == 0)
     with the "tur" atlas — the mixed-language fixture for the "tur+eng"
-    joint-recognition path (tests/integration_test.rs:91-120)."""
+    joint-recognition path (tests/integration_test.rs:91-120).
+
+    ``sup_every``/``sub_every``/``drop_every`` mark words by the same
+    global-index rule (precedence sup > sub > drop, no fall-through):
+    sup/sub offset the word's LAST glyph up/down by ``SCRIPT_OFFSET`` px
+    (skipped for 1-glyph words); drop renders the FIRST glyph pixel-
+    doubled (a descending drop cap — pair with ``lines_per_para=1`` so it
+    cannot collide with the next line).  These are the
+    symbol_is_superscript/_subscript/_dropcap fixtures
+    (/root/reference/src/result_iterator.rs:171-203)."""
     words = [
         "".join(ch for ch in w if ch in ATLAS) for w in text.split(" ") if w
     ]
@@ -814,6 +927,9 @@ def render_page(
         + max(0, n_paras - 1) * PARA_EXTRA
     )
     height = max(height, MARGIN * 2 + GLYPH_H)
+    if drop_every is not None:
+        height += GLYPH_H          # descending drop caps need tail room
+        width += 2 * ADVANCE       # and one extra-wide glyph per line
     img = np.full((height, width), BG, dtype=np.uint8)
     # deterministic dither so Otsu sees a genuine bimodal histogram
     yy, xx = np.mgrid[0:height, 0:width]
@@ -832,10 +948,28 @@ def render_page(
                 if tur_every is not None and widx % tur_every == 0
                 else ATLAS
             )
+            mark = None
+            if sup_every is not None and widx % sup_every == 0:
+                mark = "sup" if len(w) >= 2 else None
+            elif sub_every is not None and widx % sub_every == 0:
+                mark = "sub" if len(w) >= 2 else None
+            elif drop_every is not None and widx % drop_every == 0:
+                mark = "drop"
             widx += 1
-            for ch in w:
+            for ci, ch in enumerate(w):
                 mask = atlas[ch]
-                img[y : y + GLYPH_H, x : x + GLYPH_W][mask] = INK
+                if mark == "drop" and ci == 0:
+                    big = np.repeat(np.repeat(mask, 2, axis=0), 2, axis=1)
+                    img[y : y + 2 * GLYPH_H, x : x + 2 * GLYPH_W][big] = INK
+                    x += 2 * ADVANCE
+                    continue
+                gy = y
+                if ci == len(w) - 1:
+                    if mark == "sup":
+                        gy = y - SCRIPT_OFFSET
+                    elif mark == "sub":
+                        gy = y + SCRIPT_OFFSET
+                img[gy : gy + GLYPH_H, x : x + GLYPH_W][mask] = INK
                 x += ADVANCE
             x += WORD_GAP - 2  # back out the trailing intra-word advance gap
         # (x now one word-gap past the line's right edge; unused)

@@ -11,12 +11,14 @@ from typing import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from tesseract_rs_spark.config import ExtractConfig
 from tesseract_rs_spark.kernels.raster import (
     extract_raster_doc,
     raster_layout_blocks,
+    raster_symbol_attrs,
     raster_symbols,
     thresholded_image,
 )
@@ -185,6 +187,82 @@ def ocr_symbols(
             yield pd.DataFrame(out)[cols]
 
     return pages.select(*id_cols, payload_col).mapInPandas(gen, schema=schema)
+
+
+OCR_SYMBOL_ATTR_FIELDS = (
+    "para_id long, line_id long, word_id long, symbol_id long, glyph string, "
+    "left long, top long, right long, bottom long, "
+    "is_superscript boolean, is_subscript boolean, is_dropcap boolean"
+)
+
+
+def ocr_symbol_attrs(
+    pages: DataFrame,
+    cfg: ExtractConfig | None = None,
+    id_cols: Sequence[str] = ("url",),
+    payload_col: str = "html",
+) -> DataFrame:
+    """Per-symbol typographic predicates
+    (symbol_is_superscript/_subscript/_dropcap,
+    /root/reference/src/result_iterator.rs:171-203) with per-component
+    pixel boxes."""
+    cfg = cfg or ExtractConfig()
+    wl = cfg.char_whitelist
+    schema = _id_schema(pages, id_cols) + ", " + OCR_SYMBOL_ATTR_FIELDS
+    id_cols = tuple(id_cols)
+    names = [
+        "para_id", "line_id", "word_id", "symbol_id", "glyph",
+        "left", "top", "right", "bottom",
+        "is_superscript", "is_subscript", "is_dropcap",
+    ]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            per_doc = [raster_symbol_attrs(p, wl)[1] for p in pdf[payload_col]]
+            counts = np.fromiter(
+                (len(r) for r in per_doc), dtype=np.int64, count=len(per_doc)
+            )
+            out: dict = {
+                c: np.repeat(pdf[c].to_numpy(), counts) for c in id_cols
+            }
+            rows: list = []
+            for r in per_doc:
+                rows.extend(r)
+            t = list(zip(*rows)) if rows else [[]] * len(names)
+            for i, name in enumerate(names):
+                if name == "glyph":
+                    out[name] = list(t[i])
+                elif name.startswith("is_"):
+                    out[name] = np.asarray(t[i], dtype=bool)
+                else:
+                    out[name] = np.asarray(t[i], dtype=np.int64)
+            yield pd.DataFrame(out)[list(id_cols) + names]
+
+    return pages.select(*id_cols, payload_col).mapInPandas(gen, schema=schema)
+
+
+def word_font_attributes(words: DataFrame, source_dpi: int = 96) -> DataFrame:
+    """word_font_attributes analog
+    (/root/reference/src/result_iterator.rs:96-138): the reference's LSTM
+    engine reports no font styles, so the style booleans and font_id are
+    NULL by contract; pointsize is derived from the glyph-cell height at
+    the source resolution (72 * height_px / dpi) — all JVM expressions."""
+    null_bool = F.lit(None).cast("boolean")
+    return words.select(
+        "*",
+        null_bool.alias("is_bold"),
+        null_bool.alias("is_italic"),
+        null_bool.alias("is_underlined"),
+        null_bool.alias("is_monospace"),
+        null_bool.alias("is_serif"),
+        null_bool.alias("is_smallcaps"),
+        F.round((F.col("bottom") - F.col("top")) * 72 / source_dpi)
+        .cast("long")
+        .alias("pointsize"),
+        F.lit(None).cast("long").alias("font_id"),
+    )
 
 
 def ocr_layout(

@@ -70,6 +70,9 @@ def raster_pages_from_documents(
     lines_per_para: int = 3,
     rotate_mod4: bool = False,
     tur_every: int | None = None,
+    sup_every: int | None = None,
+    sub_every: int | None = None,
+    drop_every: int | None = None,
 ) -> DataFrame:
     """documents -> PAGE-raster pages (FIXTURES.md §1.1 binary layout):
     each document's text rasterized with the shared geometry constants, so
@@ -100,6 +103,9 @@ def raster_pages_from_documents(
                             lines_per_para,
                             rotate=(int(d) % 4) * 90 if rotate_mod4 else 0,
                             tur_every=tur_every,
+                            sup_every=sup_every,
+                            sub_every=sub_every,
+                            drop_every=drop_every,
                         )
                         for d, t in zip(ids, pdf["text"])
                     ],
