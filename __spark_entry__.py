@@ -30,6 +30,7 @@ from tesseract_rs_spark.functions.events import (
     tumbling_counts,
 )
 from tesseract_rs_spark.functions.relational import (
+    local_supplier_volume,
     pricing_summary,
     top_orders_by_quantity,
 )
@@ -420,6 +421,17 @@ def _q_rel_pricing_summary(spark, sf_dir):
     return pricing_summary(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
 
 
+def _q_rel_local_supplier_volume(spark, sf_dir):
+    return local_supplier_volume(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        spark.read.parquet(f"{sf_dir}/region.parquet"),
+    )
+
+
 def _q_rel_top_orders(spark, sf_dir):
     return top_orders_by_quantity(
         spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
@@ -470,6 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props": _q_events_props,
         "rel_pricing_summary": _q_rel_pricing_summary,
         "rel_top_orders": _q_rel_top_orders,
+        "rel_local_supplier_volume": _q_rel_local_supplier_volume,
     }
 
 
@@ -1029,6 +1042,24 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem
         WHERE l_shipdate <= DATE '1998-09-02'
         GROUP BY 1, 2
+        """,
+        "rel_local_supplier_volume": """
+        SELECT n.n_name,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS revenue_c4,
+               count(*) AS n_items
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND c.c_nationkey = s.s_nationkey
+          AND o.o_orderdate >= '1996-01-01'
+          AND o.o_orderdate < '1997-01-01'
+        GROUP BY n.n_name
         """,
         "rel_top_orders": """
         WITH seg AS (

@@ -28,6 +28,59 @@ def pricing_summary(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def local_supplier_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5-shaped six-table join: revenue per nation from orders
+    where the customer and the line's supplier share a nation inside one
+    region, within a one-year order window.
+
+    Scale shape: region -> nation -> supplier is a pure broadcast chain
+    (dimension tables never shuffle the fact side); lineitem joins the
+    broadcast suppliers map-side; orders and customer join on their keys
+    (the only shuffles a 100 TB run needs, and AQE may still broadcast
+    the filtered orders year).  Revenue is exact integer
+    cents x (100 - discount%) so partial aggregation is associative and
+    byte-identical to the sequential oracle sum."""
+    r = region.filter(F.col("r_name") == region_name).select("r_regionkey")
+    n = nation.join(
+        broadcast(r), nation.n_regionkey == r.r_regionkey
+    ).select("n_nationkey", "n_name")
+    s = supplier.join(
+        broadcast(n), supplier.s_nationkey == n.n_nationkey
+    ).select("s_suppkey", F.col("n_nationkey").alias("_s_nkey"), "n_name")
+    o = orders.filter(
+        (F.col("o_orderdate") >= date_from) & (F.col("o_orderdate") < date_to)
+    ).select("o_orderkey", "o_custkey")
+    c = customer.select("c_custkey", "c_nationkey")
+    revenue_c4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    j = (
+        lineitem.join(broadcast(s), lineitem.l_suppkey == s.s_suppkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("_s_nkey"))
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.sum(revenue_c4).alias("revenue_c4"),
+            F.count("*").alias("n_items"),
+        )
+        .select("n_name", "revenue_c4", "n_items")
+    )
+
+
 def top_orders_by_quantity(
     lineitem: DataFrame, orders: DataFrame, customer: DataFrame, k: int = 10
 ) -> DataFrame:
