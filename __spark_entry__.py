@@ -252,6 +252,18 @@ def _q_ocr_multilang(spark, sf_dir):
     )
 
 
+def _q_ocr_roi(spark, sf_dir):
+    """set_rectangle on the raster path
+    (/root/reference/src/api.rs:1289-1296): a pixel ROI covering only the
+    first text line (rows 0..MARGIN+LINE_PITCH-4) must extract exactly the
+    first WPL words of every document."""
+    pages = raster_pages_from_documents(_docs(spark, sf_dir), WPL, LPP)
+    cfg = ExtractConfig(roi_rect=(0, 0, 1_000_000, 16 + 36 - 4))
+    return ocr_text(pages, cfg, id_cols=("doc_id",)).select(
+        "doc_id", "text", "n_words"
+    )
+
+
 def _q_ocr_symbol_attrs(spark, sf_dir):
     """Pages with script marks (global word index: %5 -> last glyph
     superscript, %7 -> subscript, %11 -> pixel-doubled drop cap; one line
@@ -462,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_osd": _q_ocr_osd,
         "ocr_multilang": _q_ocr_multilang,
         "ocr_symbol_attrs": _q_ocr_symbol_attrs,
+        "ocr_roi": _q_ocr_roi,
         "ocr_font_attrs": _q_ocr_font_attrs,
         "multipage_text": _q_multipage_text,
         "text_stats": _q_text_stats,
@@ -731,6 +744,14 @@ def oracle_sql() -> dict[str, str]:
                'left' AS justification,
                CAST(0 AS BIGINT) AS first_line_indent
         FROM lines GROUP BY doc_id, pi
+        """,
+        "ocr_roi": _WORDS_CTE
+        + f"""
+        SELECT doc_id,
+               string_agg(w, ' ' ORDER BY wid) || {nl} AS text,
+               CAST(count(*) AS BIGINT) AS n_words
+        FROM words WHERE wid <= {WPL}
+        GROUP BY doc_id
         """,
         "ocr_symbol_attrs": _WORDS_CTE
         + f"""

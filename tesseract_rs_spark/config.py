@@ -32,6 +32,14 @@ MODE_RAW = 13          # raw text runs in source order, no boilerplate strip (PS
 
 _VALID_MODES = (MODE_AUTO, MODE_SINGLE_BLOCK, MODE_RAW)
 
+# OEM analog (tessedit_ocr_engine_mode, /root/reference/src/api.rs init_1;
+# reference enums: 0=legacy, 1=LSTM, 2=both, 3=default):
+OEM_TEMPLATE = 0   # exact Hamming template matcher (legacy-engine analog)
+OEM_NCC = 1        # normalized-correlation matcher (LSTM-engine analog)
+OEM_DEFAULT = 3    # resolves to OEM_TEMPLATE
+
+_VALID_OEMS = (OEM_TEMPLATE, OEM_NCC, OEM_DEFAULT)
+
 
 def mode_from_int(value: int) -> int:
     """Total decode with default-on-invalid, mirroring the reference's
@@ -40,12 +48,30 @@ def mode_from_int(value: int) -> int:
     return value if value in _VALID_MODES else MODE_AUTO
 
 
+def oem_from_int(value: int) -> int:
+    """OEM decode with default-on-invalid (reference OEM enum semantics:
+    2='both' and 3='default' resolve to the default engine)."""
+    return value if value in (OEM_TEMPLATE, OEM_NCC) else OEM_DEFAULT
+
+
 @dataclass(frozen=True)
 class ExtractConfig:
     """Immutable extraction config; broadcast to executors once."""
 
     lang: str = "eng"
     mode: int = MODE_AUTO
+
+    # Recognizer-engine selector (init_1 / tessedit_ocr_engine_mode):
+    # OEM_TEMPLATE = exact Hamming matcher, OEM_NCC = normalized
+    # cross-correlation matcher.  Both decode clean pages identically;
+    # they diverge (by design) on degraded glyphs — the observable
+    # engine-mode switch (/root/reference/tests/integration_test.rs:22).
+    oem: int = OEM_DEFAULT
+
+    # Source resolution in ppi (set_source_resolution /
+    # get_source_y_resolution, /root/reference/src/api.rs:432-438,
+    # 1017-1028); consumed by pointsize derivation.
+    source_dpi: int = 96
 
     # Character-set predicates (tessedit_char_whitelist/blacklist analogs).
     char_whitelist: str | None = None
@@ -60,9 +86,13 @@ class ExtractConfig:
     keep_headings: bool = True
 
     # ROI analog of set_rectangle (/root/reference/src/api.rs:1289-1296):
-    # restrict extraction to a source-offset window of the decoded document.
+    # restrict extraction to a source-offset window of the decoded document
+    # (HTML path) or to a pixel rectangle (left, top, width, height) of the
+    # page (raster path; emitted boxes stay in absolute page coordinates,
+    # as the reference's iterator does).
     roi_start: int | None = None
     roi_end: int | None = None
+    roi_rect: tuple | None = None
 
     # Per-page wall-clock budget — the TessMonitor deadline /
     # process_pages timeout analog (/root/reference/src/monitor.rs:18-50,
@@ -87,7 +117,29 @@ class ExtractConfig:
             kwargs["preserve_interword_spaces"] = value.strip() == "1"
         elif name == "page_timeout_ms":
             kwargs["page_timeout_ms"] = int(value)
+        elif name == "tessedit_ocr_engine_mode":
+            kwargs["oem"] = oem_from_int(int(value))
+        elif name == "source_resolution":
+            kwargs["source_dpi"] = int(value)
         return replace(self, **kwargs)
+
+    def with_config_file(self, path: str) -> "ExtractConfig":
+        """read_config_file analog (/root/reference/src/api.rs:791-818):
+        bulk-load ``name value`` lines (blank lines and ``#`` comments
+        skipped) through the same typed ``with_variable`` path.
+        ``read_debug_config_file`` is this with a debug-only variables
+        file — identical loader."""
+        cfg = self
+        with open(path, encoding="utf-8") as f:
+            for raw in f:
+                line = raw.strip()
+                if not line or line.startswith("#"):
+                    continue
+                name, _, value = line.partition(" ")
+                if not value:
+                    raise ValueError(f"malformed config line: {raw!r}")
+                cfg = cfg.with_variable(name, value.strip())
+        return cfg
 
     @property
     def langs(self) -> tuple:

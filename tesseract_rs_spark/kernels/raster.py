@@ -372,35 +372,53 @@ def _glyph_cells_from_stats(binary: np.ndarray, glyphs_sorted) -> np.ndarray:
     return np.stack(cells).astype(np.int32)
 
 
+def _word_cells(binary: np.ndarray, box) -> np.ndarray:
+    """(n_glyphs, GLYPH_H*GLYPH_W) int32 glyph cells for one word.
+    Uniform words use fixed-pitch reshape slicing; words with offset or
+    oversized glyphs fall back to per-component cells."""
+    if not _word_is_uniform(box):
+        glyphs = sorted(box[4], key=lambda g: int(g[0]))
+        return _glyph_cells_from_stats(binary, glyphs)
+    l, t, r, _btm, _ = box
+    region = binary[t : t + GLYPH_H, l:r]
+    n_glyphs = max(1, int(round((r - l + 2) / ADVANCE)))
+    # deskew residue can leave the box a pixel or two wider than the
+    # glyph budget — size the buffer to whichever is larger
+    buf = np.zeros((GLYPH_H, max(n_glyphs * ADVANCE, region.shape[1])), dtype=bool)
+    buf[: region.shape[0], : region.shape[1]] = region
+    buf = buf[:, : n_glyphs * ADVANCE]
+    cells = buf.reshape(GLYPH_H, n_glyphs, ADVANCE).transpose(1, 0, 2)[
+        :, :, :GLYPH_W
+    ]
+    return cells.reshape(n_glyphs, -1).astype(np.int32)
+
+
 def _word_glyph_dists(
     binary: np.ndarray, box, allowed_idx, lang: str = "eng"
 ) -> np.ndarray:
     """(n_glyphs, n_allowed) Hamming distances between the word's glyph
     cells and the (whitelist-restricted) atlas of ``lang``, as ONE matmul:
-    |a XOR c| = |a| + |c| - 2*(a.c) for binary masks.  Uniform words use
-    fixed-pitch reshape slicing; words with offset/oversized glyphs fall
-    back to per-component cells."""
-    if not _word_is_uniform(box):
-        glyphs = sorted(box[4], key=lambda g: int(g[0]))
-        flat = _glyph_cells_from_stats(binary, glyphs)
-    else:
-        l, t, r, _btm, _ = box
-        region = binary[t : t + GLYPH_H, l:r]
-        n_glyphs = max(1, int(round((r - l + 2) / ADVANCE)))
-        # deskew residue can leave the box a pixel or two wider than the
-        # glyph budget — size the buffer to whichever is larger
-        buf = np.zeros(
-            (GLYPH_H, max(n_glyphs * ADVANCE, region.shape[1])), dtype=bool
-        )
-        buf[: region.shape[0], : region.shape[1]] = region
-        buf = buf[:, : n_glyphs * ADVANCE]
-        cells = buf.reshape(GLYPH_H, n_glyphs, ADVANCE).transpose(1, 0, 2)[
-            :, :, :GLYPH_W
-        ]
-        flat = cells.reshape(n_glyphs, -1).astype(np.int32)
+    |a XOR c| = |a| + |c| - 2*(a.c) for binary masks."""
+    flat = _word_cells(binary, box)
     templates = LANG_ATLASES[lang][allowed_idx].astype(np.int32)
     dots = flat @ templates.T
     return LANG_SUMS[lang][allowed_idx][None, :] + flat.sum(axis=1)[:, None] - 2 * dots
+
+
+def _word_glyph_ncc(
+    binary: np.ndarray, box, allowed_idx, lang: str = "eng"
+) -> np.ndarray:
+    """(n_glyphs, n_allowed) normalized cross-correlation scores
+    a.c / sqrt(|a| |c|) — the OEM_NCC recognizer (engine-mode switch,
+    tessedit_ocr_engine_mode).  Same single matmul; different metric."""
+    flat = _word_cells(binary, box)
+    templates = LANG_ATLASES[lang][allowed_idx].astype(np.int32)
+    dots = (flat @ templates.T).astype(np.float64)
+    norms = np.sqrt(
+        np.maximum(1.0, flat.sum(axis=1).astype(np.float64))[:, None]
+        * LANG_SUMS[lang][allowed_idx].astype(np.float64)[None, :]
+    )
+    return dots / norms
 
 
 def _allowed_indices(whitelist: set | None):
@@ -412,15 +430,23 @@ def _allowed_indices(whitelist: set | None):
 
 
 def decode_word(
-    binary: np.ndarray, box, whitelist: set | None, lang: str = "eng"
+    binary: np.ndarray, box, whitelist: set | None, lang: str = "eng", oem: int = 0
 ) -> tuple:
-    """Fixed-pitch template decode of one word region -> (text, conf).
-    Exact mask match = conf 100; otherwise nearest by Hamming distance
-    (decode-mask semantics: whitelist restricts the template set,
+    """Template decode of one word region -> (text, conf).  OEM selects
+    the recognizer (init_1 / tessedit_ocr_engine_mode): 0/3 = Hamming
+    matcher (exact mask match = conf 100), 1 = normalized correlation.
+    Both decode clean pages identically; confidences diverge on degraded
+    glyphs.  Whitelist restricts the template set (decode-mask semantics,
     tests/integration_test.rs:102-106)."""
     allowed = _allowed_indices(whitelist)
     if len(allowed) == 0:
         return "", 0.0
+    if oem == 1:  # OEM_NCC
+        scores = _word_glyph_ncc(binary, box, allowed, lang)
+        best = scores.argmax(axis=1)
+        chars = "".join(CHARSET[allowed[j]] for j in best)
+        conf = float((100.0 * scores[np.arange(len(best)), best]).mean())
+        return chars, conf
     dists = _word_glyph_dists(binary, box, allowed, lang)
     best = dists.argmin(axis=1)
     cell_size = GLYPH_H * GLYPH_W
@@ -431,7 +457,7 @@ def decode_word(
 
 
 def decode_word_langs(
-    binary: np.ndarray, box, whitelist: set | None, langs: tuple
+    binary: np.ndarray, box, whitelist: set | None, langs: tuple, oem: int = 0
 ) -> tuple:
     """Joint multi-language decode (the "tur+eng" init,
     /root/reference/tests/integration_test.rs:91-120): decode against each
@@ -441,7 +467,7 @@ def decode_word_langs(
     listed language."""
     best = None
     for lang in langs:
-        chars, conf = decode_word(binary, box, whitelist, lang)
+        chars, conf = decode_word(binary, box, whitelist, lang, oem)
         if best is None or conf > best[1] + 1e-9:
             best = (chars, conf, lang)
     return best if best is not None else ("", 0.0, langs[0])
@@ -642,6 +668,15 @@ def osd_orientation(binary: np.ndarray) -> int:
     return detect_os(binary)[0]
 
 
+def get_text_direction(binary: np.ndarray) -> tuple:
+    """(direction, confidence) — the get_text_direction surface
+    (/root/reference/src/api.rs:1017-1028): this engine's reading order is
+    left-to-right once the page is upright, so direction is LTR with the
+    orientation vote's confidence."""
+    _deg, conf, _script, _sconf = detect_os(binary)
+    return WRITING_DIRECTION_LTR, conf
+
+
 def _prepare(payload):
     """decode -> threshold -> label -> segment; shared by the extractors."""
     img, status = decode_page(payload)
@@ -782,11 +817,24 @@ def extract_raster_doc(
     whitelist: str | None = None,
     timeout_ms: int | None = None,
     langs: tuple = ("eng",),
+    oem: int = 0,
+    roi: tuple | None = None,
 ) -> RasterResult:
+    """``roi=(left, top, width, height)`` restricts recognition to a pixel
+    rectangle (set_rectangle, /root/reference/src/api.rs:1289-1296);
+    emitted boxes stay in ABSOLUTE page coordinates, like the reference's
+    iterator.  ROI assumes an upright page (the reference likewise applies
+    the rectangle to the image as set)."""
     img, status = decode_page(payload)
     if status != STATUS_OK:
         n = len(payload) if payload is not None else 0
         return RasterResult(status, "", [], -1, 0, 0.0, 0, 0, [(0, n)])
+    roi_left = roi_top = 0
+    if roi is not None:
+        roi_left, roi_top, roi_w, roi_h = roi
+        img = img[roi_top : roi_top + roi_h, roi_left : roi_left + roi_w]
+        if img.size == 0:
+            return RasterResult(STATUS_OK, "", [], -1, 0, 0.0, 0, 0, [])
     # per-page deadline (TessMonitor analog, monitor.rs:18-50): checked at
     # stage boundaries and per decoded word — expiry is a row, not a crash
     deadline = (
@@ -824,9 +872,9 @@ def extract_raster_doc(
             )
         for word_id, box in enumerate(boxes):
             if len(langs) > 1:
-                text, conf, wlang = decode_word_langs(binary, box, wl, langs)
+                text, conf, wlang = decode_word_langs(binary, box, wl, langs, oem)
             else:
-                text, conf = decode_word(binary, box, wl, langs[0])
+                text, conf = decode_word(binary, box, wl, langs[0], oem)
                 wlang = langs[0]
             if not text:
                 continue
@@ -839,11 +887,11 @@ def extract_raster_doc(
                     word_id,
                     text,
                     conf,
-                    box[0],
-                    box[1],
-                    box[2],
-                    box[3],
-                    baseline_y,
+                    box[0] + roi_left,
+                    box[1] + roi_top,
+                    box[2] + roi_left,
+                    box[3] + roi_top,
+                    baseline_y + roi_top,
                     wlang,
                 )
             )

@@ -54,7 +54,10 @@ def ocr_text(
             if not len(pdf):
                 continue
             results = [
-                extract_raster_doc(p, whitelist=wl, timeout_ms=cfg.page_timeout_ms)
+                extract_raster_doc(
+                    p, whitelist=wl, timeout_ms=cfg.page_timeout_ms,
+                    oem=cfg.oem, roi=cfg.roi_rect,
+                )
                 for p in pdf[payload_col]
             ]
             out = {c: pdf[c].to_numpy() for c in id_cols}
@@ -106,7 +109,10 @@ def ocr_osd(
             if not len(pdf):
                 continue
             results = [
-                extract_raster_doc(p, whitelist=wl, timeout_ms=cfg.page_timeout_ms)
+                extract_raster_doc(
+                    p, whitelist=wl, timeout_ms=cfg.page_timeout_ms,
+                    oem=cfg.oem, roi=cfg.roi_rect,
+                )
                 for p in pdf[payload_col]
             ]
             out = {c: pdf[c].to_numpy() for c in id_cols}
@@ -366,7 +372,8 @@ def ocr_words(
             # zip-transpose per batch, np.repeat for the id columns
             docs = [
                 extract_raster_doc(
-                    p, whitelist=wl, timeout_ms=cfg.page_timeout_ms, langs=langs
+                    p, whitelist=wl, timeout_ms=cfg.page_timeout_ms, langs=langs,
+                    oem=cfg.oem, roi=cfg.roi_rect,
                 )
                 for p in pdf[payload_col]
             ]

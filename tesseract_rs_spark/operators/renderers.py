@@ -18,6 +18,47 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
+# renderer metadata getters (get_extension / get_title / get_image_num,
+# /root/reference/src/result_renderer.rs:141-185)
+RENDERER_EXTENSIONS = {
+    "text": "txt",
+    "tsv": "tsv",
+    "hocr": "hocr",
+    "alto": "xml",
+    "unlv": "unlv",
+    "box": "box",
+    "lstm_box": "box",
+    "wordstr_box": "box",
+}
+
+
+def renderer_extension(kind: str) -> str:
+    """File extension for a renderer kind (get_extension analog); unknown
+    kinds are an error, mirroring the reference's typed renderer set."""
+    if kind not in RENDERER_EXTENSIONS:
+        raise KeyError(f"unknown renderer kind: {kind}")
+    return RENDERER_EXTENSIONS[kind]
+
+
+def renderer_title(output_name: str) -> str:
+    """get_title analog: the document title is the output name set at
+    begin_document (set_output_name / --output)."""
+    import os
+
+    return os.path.splitext(os.path.basename(output_name))[0]
+
+
+def with_image_num(pages: DataFrame, key: str = "url", page_col: str = "page_num"):
+    """get_image_num analog: 0-based position of each page within its
+    document's add_page sequence — a rank over page order, no collect."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.asc(page_col))
+    return pages.withColumn(
+        "image_num", (F.row_number().over(w) - 1).cast("long")
+    )
+
+
 def _ordered_doc_concat(words: DataFrame, key: str, line_expr, sep: str = "\n"):
     """Render one string per word row, then concat in reading order."""
     rendered = words.withColumn("_line", line_expr)
