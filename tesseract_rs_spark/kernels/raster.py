@@ -322,15 +322,22 @@ def segment_layout(stats: np.ndarray) -> list:
 def fit_baseline(glyphs) -> int:
     """Least-squares line through glyph bottoms; returns baseline y at the
     word start (deg-1 polyfit, page_iterator.rs:159-175).  With the flat
-    synthetic glyphs the slope is 0 and baseline == bottom."""
-    xs = np.array([g[0] for g in glyphs], dtype=np.float64)
-    ys = np.array([g[3] for g in glyphs], dtype=np.float64)
-    if len(xs) == 1 or xs.max() == xs.min():
-        return int(round(float(ys.mean())))
-    # closed-form deg-1 least squares (polyfit is ~10x slower per call)
-    xm, ym = xs.mean(), ys.mean()
-    slope = ((xs - xm) * (ys - ym)).sum() / ((xs - xm) ** 2).sum()
-    return int(round(ym + slope * (xs[0] - xm)))
+    synthetic glyphs the slope is 0 and baseline == bottom.  Pure-Python
+    arithmetic: words have <=16 points, where numpy per-call overhead
+    costs ~10x the math."""
+    xs = [float(g[0]) for g in glyphs]
+    ys = [float(g[3]) for g in glyphs]
+    n = len(xs)
+    if n == 1 or max(xs) == min(xs):
+        return int(round(sum(ys) / n))
+    xm = sum(xs) / n
+    ym = sum(ys) / n
+    num = den = 0.0
+    for x, y in zip(xs, ys):
+        dx = x - xm
+        num += dx * (y - ym)
+        den += dx * dx
+    return int(round(ym + (num / den) * (xs[0] - xm)))
 
 
 _ATLAS_SUMS = _ATLAS_FLAT.sum(axis=1).astype(np.int32)  # ink per template
@@ -454,6 +461,92 @@ def decode_word(
     chars = "".join(CHARSET[allowed[j]] for j in best)
     conf = float((100.0 * (1.0 - best_d / cell_size)).mean())
     return chars, conf
+
+
+_CHARSET_ARR = np.array(list(CHARSET))
+
+
+def _decode_layout(
+    binary: np.ndarray,
+    layout: list,
+    whitelist: set | None,
+    langs: tuple,
+    oem: int,
+) -> list:
+    """Decode EVERY word of a page with one template matmul per language
+    (instead of one per word): cells for all words concatenate into a
+    single (n_glyphs_total, cell) matrix, per-glyph best matches and
+    confidences come out vectorized, per-word confidences via
+    ``np.add.reduceat``, and the multi-language vote (first language wins
+    ties within 1e-9, same rule as :func:`decode_word_langs`) is an array
+    comparison.  Returns [(para_id, line_id, word_id, box, text, conf,
+    lang)] in reading order."""
+    allowed = _allowed_indices(whitelist)
+    if len(allowed) == 0:
+        return []
+    cellblocks, meta = [], []
+    for para_id, line_id, boxes in layout:
+        for word_id, box in enumerate(boxes):
+            cells = _word_cells(binary, box)
+            cellblocks.append(cells)
+            meta.append((para_id, line_id, word_id, box, len(cells)))
+    if not meta:
+        return []
+    big = np.concatenate(cellblocks, axis=0)
+    counts = np.fromiter((m[4] for m in meta), dtype=np.int64, count=len(meta))
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    n_glyphs = big.shape[0]
+    cell_size = GLYPH_H * GLYPH_W
+    big_sums = big.sum(axis=1)
+    bests, word_confs = [], []
+    for lang in langs:
+        templates = LANG_ATLASES[lang][allowed].astype(np.int32)
+        dots = big @ templates.T
+        if oem == 1:  # OEM_NCC
+            norms = np.sqrt(
+                np.maximum(1.0, big_sums.astype(np.float64))[:, None]
+                * LANG_SUMS[lang][allowed].astype(np.float64)[None, :]
+            )
+            scores = dots / norms
+            best = scores.argmax(axis=1)
+            conf_g = 100.0 * scores[np.arange(n_glyphs), best]
+        else:
+            dists = (
+                LANG_SUMS[lang][allowed][None, :] + big_sums[:, None] - 2 * dots
+            )
+            best = dists.argmin(axis=1)
+            conf_g = 100.0 * (
+                1.0 - dists[np.arange(n_glyphs), best] / cell_size
+            )
+        bests.append(best)
+        word_confs.append(np.add.reduceat(conf_g, starts) / counts)
+    pick = np.zeros(len(meta), dtype=np.int64)
+    best_conf = word_confs[0].copy()
+    for i in range(1, len(langs)):
+        better = word_confs[i] > best_conf + 1e-9
+        pick[better] = i
+        best_conf[better] = word_confs[i][better]
+    glyph_pick = np.repeat(pick, counts)
+    best_all = np.stack(bests)  # (n_langs, n_glyphs)
+    chosen = best_all[glyph_pick, np.arange(n_glyphs)]
+    # one join for the whole page; word texts are substring slices
+    all_chars = "".join(_CHARSET_ARR[allowed[chosen]].tolist())
+    out = []
+    for w, (para_id, line_id, word_id, box, n) in enumerate(meta):
+        s = int(starts[w])
+        out.append(
+            (
+                para_id,
+                line_id,
+                word_id,
+                box,
+                all_chars[s : s + n],
+                float(best_conf[w]),
+                langs[int(pick[w])],
+            )
+        )
+    return out
 
 
 def decode_word_langs(
@@ -617,17 +710,20 @@ def _orient_score(binary: np.ndarray, max_glyphs: int = 12) -> float:
         return 0.0
     stats = stats[np.argsort(stats[:, 0])][:max_glyphs]
     cell_size = GLYPH_H * GLYPH_W
-    confs = []
-    for l, t, r, b, _area in stats:
-        cell = np.zeros((GLYPH_H, GLYPH_W), dtype=bool)
+    cells = np.zeros((len(stats), GLYPH_H, GLYPH_W), dtype=bool)
+    for i, (l, t, r, b, _area) in enumerate(stats):
         patch = strip[t : t + GLYPH_H, l : l + GLYPH_W]
-        cell[: patch.shape[0], : patch.shape[1]] = patch
-        flat = cell.reshape(1, -1).astype(np.int16)
-        # vote against EVERY embedded language model (mixed-language pages
-        # must score as upright as monolingual ones)
-        dists = _ALL_LANG_FLAT_SUMS + flat.sum() - 2 * (flat @ _ALL_LANG_FLAT.T)[0]
-        confs.append(100.0 * (1.0 - dists.min() / cell_size))
-    return float(np.mean(confs))
+        cells[i, : patch.shape[0], : patch.shape[1]] = patch
+    flat = cells.reshape(len(stats), -1).astype(np.int32)
+    # ONE matmul against EVERY embedded language model (mixed-language
+    # pages must score as upright as monolingual ones)
+    dists = (
+        _ALL_LANG_FLAT_SUMS[None, :]
+        + flat.sum(axis=1)[:, None]
+        - 2 * (flat @ _ALL_LANG_FLAT.T)
+    )
+    confs = 100.0 * (1.0 - dists.min(axis=1) / cell_size)
+    return float(confs.mean())
 
 
 def detect_os(binary: np.ndarray) -> tuple:
@@ -863,39 +959,38 @@ def extract_raster_doc(
     n_comp, stats = connected_components(binary)
     layout = segment_layout(stats)
     wl = set(whitelist) if whitelist else None
+    if _expired():
+        return RasterResult(
+            "timeout", "", [], t, 0, 0.0, n_comp, 0, [(0, len(payload))]
+        )
+    decoded = _decode_layout(binary, layout, wl, langs, oem)
+    if _expired():
+        return RasterResult(
+            "timeout", "", [], t, 0, 0.0, n_comp, 0, [(0, len(payload))]
+        )
     words = []
     lines_text: dict = {}
-    for para_id, line_id, boxes in layout:
-        if _expired():
-            return RasterResult(
-                "timeout", "", [], t, 0, 0.0, n_comp, 0, [(0, len(payload))]
+    for para_id, line_id, word_id, box, text, conf, wlang in decoded:
+        if not text:
+            continue
+        baseline_y = fit_baseline(box[4])
+        words.append(
+            (
+                0,
+                para_id,
+                line_id,
+                word_id,
+                text,
+                conf,
+                box[0] + roi_left,
+                box[1] + roi_top,
+                box[2] + roi_left,
+                box[3] + roi_top,
+                baseline_y + roi_top,
+                wlang,
             )
-        for word_id, box in enumerate(boxes):
-            if len(langs) > 1:
-                text, conf, wlang = decode_word_langs(binary, box, wl, langs, oem)
-            else:
-                text, conf = decode_word(binary, box, wl, langs[0], oem)
-                wlang = langs[0]
-            if not text:
-                continue
-            baseline_y = fit_baseline(box[4])
-            words.append(
-                (
-                    0,
-                    para_id,
-                    line_id,
-                    word_id,
-                    text,
-                    conf,
-                    box[0] + roi_left,
-                    box[1] + roi_top,
-                    box[2] + roi_left,
-                    box[3] + roi_top,
-                    baseline_y + roi_top,
-                    wlang,
-                )
-            )
-            lines_text.setdefault((para_id, line_id), []).append(text)
+        )
+        lines_text.setdefault((para_id, line_id), []).append(text)
     # assembly: words ' ', lines '\n', paragraphs '\n\n', trailing '\n'
     paras: dict = {}
     for (para_id, line_id), ws in sorted(lines_text.items()):
