@@ -162,6 +162,8 @@ class DocResult:
 def _finalize_block(block: Block, preserve_spaces: bool) -> None:
     raw = "".join(block.parts)
     lines = []
+    n_words = 0
+    content_chars = 0
     for raw_line in raw.split("\x00"):
         if preserve_spaces:
             # preserve_interword_spaces=1: keep space runs, normalize other ws
@@ -170,11 +172,17 @@ def _finalize_block(block: Block, preserve_spaces: bool) -> None:
             line = _WS_RE.sub(" ", raw_line).strip()
         if line:
             line = _htmllib.unescape(line)
-            words = line.split(" ") if not preserve_spaces else [line]
+            if preserve_spaces:
+                words = [line]
+                content_chars += len(line)
+            else:
+                words = line.split(" ")
+                # sum of word lengths == line length minus the separators
+                content_chars += len(line) - len(words) + 1
+            n_words += len(words)
             lines.append(words)
     block.lines = lines
-    block.n_words = sum(len(ws) for ws in lines)
-    content_chars = sum(len(w) for ws in lines for w in ws)
+    block.n_words = n_words
     block.link_density = (
         min(1.0, block.anchor_chars / block.total_chars) if block.total_chars else 0.0
     )
