@@ -47,6 +47,11 @@ from tesseract_rs_spark.functions.text import (
     text_stats,
 )
 from tesseract_rs_spark.corpus import render_html
+from tesseract_rs_spark.functions.cleaning import (
+    contamination,
+    dedup_paragraphs,
+    pii_scrub,
+)
 from tesseract_rs_spark.operators.extract import extract_text, extract_words
 from tesseract_rs_spark.operators.multipage import process_pages
 from tesseract_rs_spark.operators.ocr import (
@@ -377,6 +382,36 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.8)
 
 
+def _q_pii_scrub(spark, sf_dir):
+    """PII redaction over documents with deterministically injected PII
+    (email/IPv4/phone per doc) so the scrubber is exercised on real
+    matches; redacted text AND match counts are SQL-expressible."""
+    docs = _docs(spark, sf_dir)
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com on 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" or 555-123-4567"),
+        ).alias("text"),
+    )
+    return pii_scrub(injected)
+
+
+def _q_contamination(spark, sf_dir):
+    """Benchmark-contamination: docs with doc_id % 50 == 0 form the
+    benchmark set; count each document's shingles that appear in it."""
+    docs = _docs(spark, sf_dir)
+    return contamination(docs, docs.filter(F.col("doc_id") % 50 == 0))
+
+
+def _q_dedup_paragraphs(spark, sf_dir):
+    return dedup_paragraphs(_docs(spark, sf_dir), para_words=PARA_WORDS)
+
+
 def _q_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir))
 
@@ -485,6 +520,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_summary": _q_dedup_summary,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "pii_scrub": _q_pii_scrub,
+        "contamination": _q_contamination,
+        "dedup_paragraphs": _q_dedup_paragraphs,
         "simhash": _q_simhash,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -919,6 +957,71 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.8
+        """,
+        "pii_scrub": """
+        WITH injected AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 text || ' contact doc' || CAST(doc_id AS VARCHAR)
+                      || '@example.com on 10.0.0.'
+                      || CAST(doc_id % 256 AS VARCHAR)
+                      || ' or 555-123-4567' AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text,
+                     '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+                   '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                   '<IP>', 'g'),
+                 '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g')
+                 AS clean_text,
+               CAST(len(regexp_extract_all(text,
+                      '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+                    + len(regexp_extract_all(text,
+                      '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+                    + len(regexp_extract_all(text,
+                      '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b'))
+                    AS BIGINT) AS n_pii
+        FROM injected
+        """,
+        "contamination": _WORDS_CTE
+        + """
+        , sh AS (
+          SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+          FROM words a
+          JOIN words b ON a.doc_id = b.doc_id AND b.wid = a.wid + 1
+          JOIN words c ON a.doc_id = c.doc_id AND c.wid = a.wid + 2
+        ),
+        bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+        sizes AS (
+          SELECT d.doc_id, COALESCE(c.n, 0) AS n_shingles
+          FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+          LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                     FROM sh GROUP BY 1) c USING (doc_id)
+        ),
+        hits AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+          FROM sh WHERE s IN (SELECT s FROM bench) GROUP BY doc_id
+        )
+        SELECT sizes.doc_id, sizes.n_shingles,
+               COALESCE(hits.n, 0) AS n_contaminated
+        FROM sizes LEFT JOIN hits USING (doc_id)
+        """,
+        "dedup_paragraphs": _WORDS_CTE
+        + f"""
+        , paras AS (
+          SELECT doc_id, (wid - 1) // {PARA_WORDS} AS pid,
+                 string_agg(w, ' ' ORDER BY wid) AS para
+          FROM words GROUP BY doc_id, pid
+        ),
+        counts AS (SELECT para, count(*) AS n FROM paras GROUP BY 1)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_paras,
+               CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_paras
+        FROM paras JOIN counts USING (para)
+        GROUP BY doc_id
         """,
         # minhash LSH verifies candidates with EXACT Jaccard, and banding
         # recall at t=0.8 (64 hashes / 16 bands) makes candidate misses

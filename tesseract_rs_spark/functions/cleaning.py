@@ -1,0 +1,119 @@
+"""Corpus-cleaning operators for training-data pipelines: PII scrubbing,
+benchmark-contamination detection, and paragraph-level dedup.
+
+All pure JVM column expressions / equi-joins — no Python in the hot path;
+every operator has an exact ANSI-SQL twin, so correctness is end-to-end
+hash-checked, not eyeballed.  Regex patterns are chosen to behave
+identically under Java regex (Spark) and RE2 (DuckDB): no backreferences,
+no lookaround.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import broadcast
+
+from tesseract_rs_spark.functions.text import tokens, word_shingles
+
+# PII patterns (cross-engine-safe subset)
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PHONE_RE = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+_PII_RULES = (
+    (EMAIL_RE, "<EMAIL>"),
+    (IPV4_RE, "<IP>"),     # before PHONE: an IP must not half-match digits
+    (PHONE_RE, "<PHONE>"),
+)
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id", col: str = "text") -> DataFrame:
+    """(id, clean_text, n_pii): redact emails / IPv4s / phone numbers with
+    typed placeholder tokens and count the redactions.  Chained
+    ``regexp_replace`` — whole-stage codegen, zero Python."""
+    n_pii = sum(
+        (F.size(F.regexp_extract_all(F.col(col), F.lit(pat), F.lit(0))) for pat, _ in _PII_RULES),
+        F.lit(0),
+    )
+    clean = F.col(col)
+    for pat, token in _PII_RULES:
+        clean = F.regexp_replace(clean, pat, token)
+    return docs.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        n_pii.cast("long").alias("n_pii"),
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: for every corpus document, how many
+    of its distinct word n-gram shingles appear in the benchmark set.
+    (id, n_shingles, n_contaminated).
+
+    Scale shape: the benchmark shingle set is small and BROADCASTS; the
+    corpus side is a map-side explode + broadcast semi-join + one
+    aggregation on the doc id — corpus text never shuffles."""
+    bench_sh = (
+        benchmark.select(F.explode(word_shingles("text", n)).alias("shingle"))
+        .distinct()
+    )
+    corpus_sh = docs.select(
+        F.col(id_col), F.explode(word_shingles("text", n)).alias("shingle")
+    )
+    hits = (
+        corpus_sh.join(broadcast(bench_sh), "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    sizes = docs.select(
+        F.col(id_col), F.size(word_shingles("text", n)).cast("long").alias("n_shingles")
+    )
+    return (
+        sizes.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+        )
+    )
+
+
+def paragraph_chunks(col: str = "text", para_words: int = 25):
+    """Non-overlapping ``para_words``-word chunks as an array column —
+    the paragraph axis for sub-document dedup (JVM transform/slice)."""
+    t = tokens(col)
+    n_chunks = F.ceil(F.size(t) / para_words).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(t, i * para_words + 1, para_words), " "),
+    )
+
+
+def dedup_paragraphs(
+    docs: DataFrame, id_col: str = "doc_id", para_words: int = 25
+) -> DataFrame:
+    """Paragraph-level exact dedup: (id, n_paras, n_dup_paras) where a
+    paragraph is duplicated if its text occurs anywhere else in the corpus
+    (including other positions of the same document).
+
+    Scale shape: only (id, md5) pairs shuffle — 16 B per paragraph, never
+    the text; the duplicate test is one aggregation on the digest."""
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(paragraph_chunks("text", para_words)).alias("pid", "para"),
+    ).select(id_col, "pid", F.md5(F.col("para").cast("binary")).alias("_h"))
+    counts = paras.groupBy("_h").agg(F.count("*").alias("_n"))
+    return (
+        paras.join(counts, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(F.when(F.col("_n") > 1, 1).otherwise(0)).alias("n_dup_paras"),
+        )
+    )

@@ -186,3 +186,66 @@ def test_embedding_dup_pairs_lsh_equals_exact(emb):
         for r in embedding_dup_pairs_exact(emb, threshold=0.45).collect()
     }
     assert got == want
+
+
+def test_cleaning_ops(spark):
+    """PII scrub / contamination / paragraph dedup unit behavior."""
+    import pandas as pd
+
+    from tesseract_rs_spark.functions.cleaning import (
+        contamination,
+        dedup_paragraphs,
+        pii_scrub,
+    )
+
+    d = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "write to alice.b+x@corp.example.io or 10.1.2.3 now",
+                    "call 555-867-5309 twice 555-867-5309",
+                    "totally clean words only",
+                ],
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(d).collect()}
+    assert rows[1]["clean_text"] == "write to <EMAIL> or <IP> now"
+    assert rows[1]["n_pii"] == 2
+    assert rows[2]["clean_text"] == "call <PHONE> twice <PHONE>"
+    assert rows[2]["n_pii"] == 2
+    assert rows[3]["n_pii"] == 0 and rows[3]["clean_text"] == "totally clean words only"
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "a b c d e",           # benchmark
+                    "a b c x y",           # shares shingle "a b c"
+                    "p q r s t",           # clean
+                ],
+            }
+        )
+    )
+    cont = {
+        r["doc_id"]: (r["n_shingles"], r["n_contaminated"])
+        for r in contamination(docs, docs.filter("doc_id = 1")).collect()
+    }
+    assert cont == {1: (3, 3), 2: (3, 1), 3: (3, 0)}
+
+    paras = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["one two three one two three", "one two three unique para here"],
+            }
+        )
+    )
+    pd_rows = {
+        r["doc_id"]: (r["n_paras"], r["n_dup_paras"])
+        for r in dedup_paragraphs(paras, para_words=3).collect()
+    }
+    # "one two three" occurs 3x across the corpus (twice in doc 1)
+    assert pd_rows == {1: (2, 2), 2: (2, 1)}
