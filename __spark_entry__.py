@@ -450,6 +450,72 @@ def _q_dedup_embedding(spark, sf_dir):
     return embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.45)
 
 
+def _q_media_image_stats(spark, sf_dir):
+    """REAL image decode end-to-end: each document rendered to a raster
+    page, encoded as a binary PGM (P5), decoded back by the real PGM
+    parser, and reduced to pixel statistics.  Width/height follow the
+    shared render geometry and n_ink_px is the glyph ink mass — both
+    closed-form from the source text (ink per glyph = 48 spine px + 56 px
+    per set bit of the charset code)."""
+    import pandas as pd
+
+    from tesseract_rs_spark.functions.multimodal import image_stats, pgm_encode
+    from tesseract_rs_spark.kernels.raster import decode_page, render_page
+
+    docs = _docs(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = [
+                pgm_encode(decode_page(render_page(t, WPL, LPP))[0])
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        gen, "media_id long, payload binary"
+    )
+    return image_stats(media).select(
+        F.col("media_id").alias("doc_id"), "status", "width", "height", "n_ink_px"
+    )
+
+
+def _q_media_audio_stats(spark, sf_dir):
+    """REAL WAV decode end-to-end: per-doc deterministic PCM16 samples
+    (s_i = ((doc_id*31 + i*17) mod 2003) - 1001, n = 1000 + doc_id mod
+    500) are encoded into a real RIFF/WAVE container, decoded back by the
+    real parser, and reduced to exact-integer statistics."""
+    import numpy as np
+    import pandas as pd
+
+    from tesseract_rs_spark.functions.multimodal import audio_stats, wav_encode
+
+    docs = _docs(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf["doc_id"].astype("int64"):
+                n = 1000 + int(did) % 500
+                s = (int(did) * 31 + 17 * np.arange(n, dtype=np.int64)) % 2003 - 1001
+                payloads.append(wav_encode(s.astype(np.int16), 16000))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    media = docs.select("doc_id").mapInPandas(gen, "media_id long, payload binary")
+    return audio_stats(media).select(
+        F.col("media_id").alias("doc_id"), "status", "sample_rate",
+        "n_samples", "sumsq", "peak", "zero_crossings",
+    )
+
+
 def _q_events_tumbling(spark, sf_dir):
     return tumbling_counts(_events(spark, sf_dir))
 
@@ -528,6 +594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "token_count_bpe": _q_token_count_bpe,
         "dedup_embedding": _q_dedup_embedding,
+        "media_image_stats": _q_media_image_stats,
+        "media_audio_stats": _q_media_audio_stats,
         "events_tumbling": _q_events_tumbling,
         "events_sessionize": _q_events_sessionize,
         "events_props": _q_events_props,
@@ -1119,6 +1187,63 @@ def oracle_sql() -> dict[str, str]:
         FROM e a, e b
         WHERE a.vec_id < b.vec_id
           AND list_cosine_similarity(a.v, b.v) >= 0.45
+        """,
+        "media_image_stats": _WORDS_CTE
+        + f"""
+        , lines AS (
+          SELECT doc_id, (wid - 1) // {WPL} AS li,
+                 SUM(18 * length(w) + 12) - 14 AS lw
+          FROM words GROUP BY doc_id, li
+        ),
+        dims AS (
+          SELECT doc_id,
+                 CAST(32 + MAX(lw) AS BIGINT) AS width,
+                 CAST(32 + (MAX(li) + 1) * 36 - 12
+                      + (CEIL((MAX(li) + 1) / {LPP}.0) - 1) * 24 AS BIGINT)
+                   AS height
+          FROM lines GROUP BY doc_id
+        ),
+        chars AS (
+          SELECT doc_id, unnest(string_split(w, '')) AS ch FROM words
+        ),
+        ink AS (
+          SELECT doc_id,
+                 CAST(SUM(48 + 56 * CAST(bit_count(
+                      strpos('abcdefghijklmnopqrstuvwxyz0123456789.,!?', ch))
+                      AS BIGINT)) AS BIGINT) AS n_ink_px
+          FROM chars GROUP BY doc_id
+        )
+        SELECT d.doc_id, 'ok' AS status, d.width, d.height, i.n_ink_px
+        FROM dims d JOIN ink i USING (doc_id)
+        """,
+        "media_audio_stats": """
+        WITH params AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 1000 + CAST(doc_id AS BIGINT) % 500 AS n
+          FROM documents
+        ),
+        samples AS (
+          SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i
+          FROM params
+        ),
+        vals AS (
+          SELECT doc_id, n, i,
+                 ((doc_id * 31 + i * 17) % 2003) - 1001 AS s
+          FROM samples
+        ),
+        flips AS (
+          SELECT doc_id, n, s,
+                 CASE WHEN (lag(s) OVER w >= 0) <> (s >= 0) THEN 1 ELSE 0 END AS zc
+          FROM vals
+          WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+        )
+        SELECT doc_id, 'ok' AS status,
+               CAST(16000 AS BIGINT) AS sample_rate,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(SUM(s * s) AS BIGINT) AS sumsq,
+               CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+               CAST(SUM(zc) AS BIGINT) AS zero_crossings
+        FROM flips GROUP BY doc_id, n
         """,
         "events_tumbling": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,

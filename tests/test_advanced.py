@@ -156,3 +156,80 @@ class TestMultimodal:
         # last frame always sampled
         last = j.groupBy("media_id", "n_frames").agg(F.max("frame_idx").alias("mx"))
         assert last.filter(F.col("mx") != F.greatest(F.col("n_frames") - 1, F.lit(0))).count() == 0
+
+
+class TestRealMediaDecode:
+    """REAL codec surfaces: PGM/PPM images, PCM WAV, VSEQ frame video —
+    pure numpy/struct decoders (no codec libs needed)."""
+
+    def test_pgm_roundtrip_and_comment_header(self):
+        import numpy as np
+
+        from tesseract_rs_spark.functions.multimodal import decode_image, pgm_encode
+
+        img = (np.arange(300, dtype=np.uint8)).reshape(15, 20)
+        out, st = decode_image(pgm_encode(img))
+        assert st == "ok" and np.array_equal(out, img)
+        # comment line in the header is legal PGM
+        with_comment = b"P5\n# a comment\n20 15\n255\n" + img.tobytes()
+        out2, st2 = decode_image(with_comment)
+        assert st2 == "ok" and np.array_equal(out2, img)
+
+    def test_ppm_reduces_to_same_luma_as_raster_path(self):
+        import numpy as np
+
+        from tesseract_rs_spark.functions.multimodal import decode_image
+
+        rgb = np.random.RandomState(0).randint(0, 256, size=(9, 7, 3), dtype=np.uint8)
+        ppm = b"P6\n7 9\n255\n" + rgb.tobytes()
+        out, st = decode_image(ppm)
+        r32 = rgb.astype(np.uint32)
+        want = (
+            (r32[:, :, 0] * 299 + r32[:, :, 1] * 587 + r32[:, :, 2] * 114) // 1000
+        ).astype(np.uint8)
+        assert st == "ok" and np.array_equal(out, want)
+
+    def test_wav_roundtrip_mono_and_stereo(self):
+        import numpy as np
+
+        from tesseract_rs_spark.functions.multimodal import decode_audio, wav_encode
+
+        s = np.array([0, 100, -100, 32000, -32000], dtype=np.int16)
+        out, sr, st = decode_audio(wav_encode(s, 8000))
+        assert st == "ok" and sr == 8000 and np.array_equal(out, s)
+        # stereo: interleave, decoder mixes down to mono mean
+        stereo = wav_encode(s, 8000)
+        # build a stereo file by hand: same sample in both channels
+        import struct as _struct
+
+        data = np.repeat(s, 2).astype("<i2").tobytes()
+        wav = (
+            b"RIFF" + _struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+            + _struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+            + b"data" + _struct.pack("<I", len(data)) + data
+        )
+        out2, sr2, st2 = decode_audio(wav)
+        assert st2 == "ok" and np.array_equal(out2, s)
+
+    def test_video_frame_extraction(self):
+        import numpy as np
+
+        from tesseract_rs_spark.functions.multimodal import (
+            decode_frame,
+            video_encode,
+        )
+
+        frames = [np.full((4, 5), i, dtype=np.uint8) for i in range(3)]
+        payload = video_encode(frames)
+        for k in range(3):
+            out, st = decode_frame(payload, k)
+            assert st == "ok" and np.array_equal(out, frames[k])
+        assert decode_frame(payload, 3)[1] == "frame_out_of_range"
+
+    def test_unsupported_codecs_are_status_rows(self):
+        from tesseract_rs_spark.functions.multimodal import decode_audio, decode_image
+
+        assert decode_image(b"\x89PNG\r\n....")[1] == "unsupported_codec"
+        assert decode_audio(b"ID3\x04...mp3 bytes")[2] == "unsupported_codec"
+        # truncated PGM body is invalid, not a crash
+        assert decode_image(b"P5\n10 10\n255\nshort")[1] == "invalid_image_data"
