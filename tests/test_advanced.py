@@ -233,3 +233,56 @@ class TestRealMediaDecode:
         assert decode_audio(b"ID3\x04...mp3 bytes")[2] == "unsupported_codec"
         # truncated PGM body is invalid, not a crash
         assert decode_image(b"P5\n10 10\n255\nshort")[1] == "invalid_image_data"
+
+
+class TestStatefulStreaming:
+    """applyInPandasWithState sessionization must converge to the batch
+    answer across micro-batches (SURVEY §2.7 streaming surface)."""
+
+    def test_stream_sessionize_equals_batch(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from tesseract_rs_spark.functions.events import sessionize
+        from tesseract_rs_spark.streaming.stateful import stream_sessionize
+
+        events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+            F.col("user_id").cast("long"),
+            F.col("event_id").cast("long"),
+            F.col("ts").cast("timestamp"),
+        )
+        # two time-ordered files -> two micro-batches carrying state across
+        median = events.approxQuantile("event_id", [0.5], 0.0)[0]
+        in_dir = tmp_path / "in"
+        events.filter(F.col("ts") <= F.lit("2026-01-15")).coalesce(1).write.parquet(
+            str(in_dir / "f=0")
+        )
+        events.filter(F.col("ts") > F.lit("2026-01-15")).coalesce(1).write.parquet(
+            str(in_dir / "f=1")
+        )
+        stream = (
+            spark.readStream.schema("user_id long, event_id long, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(in_dir) + "/*")
+        )
+        q = (
+            stream_sessionize(stream)
+            .writeStream.format("memory")
+            .queryName("sess_stream")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        emitted = spark.sql("SELECT * FROM sess_stream").toPandas()
+        # update mode appends every emission; the final state per user is
+        # the emission with the largest n_events (monotone per user)
+        final = emitted.sort_values("n_events").groupby("user_id").last()
+        batch = {
+            r["user_id"]: (r["n_sessions"], r["n_events"], r["max_session_events"])
+            for r in sessionize(events).collect()
+        }
+        got = {
+            int(uid): (int(r["n_sessions"]), int(r["n_events"]), int(r["max_session_events"]))
+            for uid, r in final.iterrows()
+        }
+        assert got == batch
