@@ -53,6 +53,36 @@ def corpus_path() -> str:
     return os.path.join(CACHE_ROOT, f"pages_{tag}_{BENCH_PAGES}_{probe}.parquet")
 
 
+RASTER_PAGES = int(os.environ.get("SPARK_GRAFT_RASTER_PAGES", "5000"))
+
+
+def raster_corpus_path() -> str:
+    import hashlib
+
+    from tesseract_rs_spark.kernels.raster import render_page
+
+    probe = hashlib.sha256(render_page("probe words for raster")).hexdigest()[:8]
+    tag = os.path.basename(os.path.normpath(SF_DIR))
+    return os.path.join(CACHE_ROOT, f"raster_{tag}_{RASTER_PAGES}_{probe}.parquet")
+
+
+def ensure_raster_corpus(spark) -> str:
+    from tesseract_rs_spark.sources.pages import raster_pages_from_documents
+
+    path = raster_corpus_path()
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .withColumn("doc_id", F.col("doc_id").cast("long"))
+        .limit(RASTER_PAGES)
+    )
+    raster_pages_from_documents(docs).repartition(64).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
 def ensure_corpus(spark) -> str:
     path = corpus_path()
     if os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -132,6 +162,23 @@ def main() -> None:
     word_samples = sorted(timed_words() for _ in range(3))
     words_sec, n_words = word_samples[1]
     results["extract_words"] = round(words_sec, 3)
+
+    # raster-OCR path (secondary): median-of-3 over the cached PAGE corpus
+    from tesseract_rs_spark.operators.ocr import ocr_text
+
+    raster_path = ensure_raster_corpus(spark)
+    raster_pages = spark.read.parquet(raster_path)
+
+    def timed_raster():
+        t0 = time.time()
+        n = ocr_text(raster_pages).agg(F.count("*")).collect()[0][0]
+        return time.time() - t0, n
+
+    timed_raster()
+    raster_samples = sorted(timed_raster() for _ in range(3))
+    raster_sec, n_raster = raster_samples[1]
+    results["ocr_text"] = round(raster_sec, 3)
+    raster_pages_per_sec = round(n_raster / raster_sec, 1)
     spark.stop()
 
     scaling = None
@@ -168,6 +215,8 @@ def main() -> None:
         "mb_per_sec": round(mb_per_sec, 1),
         "chars_emitted": int(chars),
         "words_rows": int(n_words),
+        "raster_pages": int(n_raster),
+        "raster_pages_per_sec": raster_pages_per_sec,
         "scaling": scaling,
     }
     print(json.dumps(out))
