@@ -27,11 +27,14 @@ from tesseract_rs_spark.functions.dedup import (
 from tesseract_rs_spark.functions.events import (
     extract_props,
     sessionize,
+    sliding_counts,
+    top_type_per_hour,
     tumbling_counts,
 )
 from tesseract_rs_spark.functions.relational import (
     local_supplier_volume,
     pricing_summary,
+    promo_revenue_by_type,
     top_orders_by_quantity,
 )
 from tesseract_rs_spark.functions.similarity import (
@@ -64,6 +67,7 @@ from tesseract_rs_spark.operators.ocr import (
     word_font_attributes,
 )
 from tesseract_rs_spark.operators.renderers import (
+    render_hocr_bbox,
     render_lstm_box,
     render_tsv,
     render_tsv_raster,
@@ -545,6 +549,30 @@ def _q_rel_local_supplier_volume(spark, sf_dir):
     )
 
 
+def _q_rel_promo_revenue(spark, sf_dir):
+    return promo_revenue_by_type(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+    )
+
+
+def _q_events_sliding(spark, sf_dir):
+    return sliding_counts(_events(spark, sf_dir))
+
+
+def _q_events_top_type(spark, sf_dir):
+    return top_type_per_hour(_events(spark, sf_dir))
+
+
+def _q_render_hocr(spark, sf_dir):
+    """hOCR with real pixel bounding boxes over the raster word table —
+    the reference's hOCR geometry payload (tests/test_e2e.rs:46), fully
+    SQL-expressible via the same window-sum arithmetic as ocr_words."""
+    pages = raster_pages_from_documents(_docs(spark, sf_dir), WPL, LPP)
+    words = ocr_words(pages, id_cols=("doc_id",))
+    return render_hocr_bbox(words, key="doc_id")
+
+
 def _q_rel_top_orders(spark, sf_dir):
     return top_orders_by_quantity(
         spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
@@ -602,6 +630,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pricing_summary": _q_rel_pricing_summary,
         "rel_top_orders": _q_rel_top_orders,
         "rel_local_supplier_volume": _q_rel_local_supplier_volume,
+        "rel_promo_revenue": _q_rel_promo_revenue,
+        "events_sliding": _q_events_sliding,
+        "events_top_type": _q_events_top_type,
+        "render_hocr": _q_render_hocr,
     }
 
 
@@ -1309,6 +1341,68 @@ def oracle_sql() -> dict[str, str]:
           AND o.o_orderdate >= '1996-01-01'
           AND o.o_orderdate < '1997-01-01'
         GROUP BY n.n_name
+        """,
+        "rel_promo_revenue": """
+        SELECT p.p_type,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS revenue_c4,
+               count(*) AS n_items
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1996-02-01'
+        GROUP BY p.p_type
+        """,
+        "events_sliding": """
+        WITH two AS (
+          SELECT event_type, date_trunc('hour', ts) AS ws FROM events
+          UNION ALL
+          SELECT event_type, date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events
+        )
+        SELECT strftime(ws, '%Y-%m-%d %H') AS window_start, event_type,
+               count(*) AS n
+        FROM two GROUP BY 1, 2
+        """,
+        "events_top_type": """
+        WITH hourly AS (
+          SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+                 event_type, count(*) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT hour, event_type, n,
+                 row_number() OVER (PARTITION BY hour
+                                    ORDER BY n DESC, event_type ASC) AS r
+          FROM hourly
+        )
+        SELECT hour, event_type, n FROM ranked WHERE r = 1
+        """,
+        "render_hocr": _WORDS_CTE
+        + f"""
+        , geo AS (
+          SELECT doc_id, w, wid,
+                 (wid - 1) // {WPL} AS li,
+                 16 + COALESCE(SUM(18 * length(w) + 12) OVER (
+                      PARTITION BY doc_id, (wid - 1) // {WPL}
+                      ORDER BY wid
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS left_px
+          FROM words
+        ),
+        spans AS (
+          SELECT doc_id, wid,
+                 '<span class=''ocrx_word'' title=''bbox '
+                 || CAST(left_px AS VARCHAR) || ' '
+                 || CAST(16 + li * 36 + (li // {LPP}) * 24 AS VARCHAR) || ' '
+                 || CAST(left_px + 18 * length(w) - 2 AS VARCHAR) || ' '
+                 || CAST(16 + li * 36 + (li // {LPP}) * 24 + 24 AS VARCHAR)
+                 || '; x_wconf 100''>' || w || '</span>' AS s
+          FROM geo
+        )
+        SELECT doc_id,
+               '<div class=''ocr_page'' id=''page_1''><p class=''ocr_par''>'
+               || string_agg(s, ' ' ORDER BY wid)
+               || '</p></div>' AS hocr
+        FROM spans GROUP BY doc_id
         """,
         "rel_top_orders": """
         WITH seg AS (

@@ -57,6 +57,37 @@ def sessionize(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
     )
 
 
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """Per (2-hour window sliding by 1 hour, event_type): event counts —
+    ``F.window(ts, '2 hours', '1 hour')``; every event lands in exactly
+    two windows.  (window_start string, event_type, n)."""
+    return (
+        events.groupBy(
+            F.date_format(
+                F.window("ts", "2 hours", "1 hour").start, "yyyy-MM-dd HH"
+            ).alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def top_type_per_hour(events: DataFrame) -> DataFrame:
+    """The hour's dominant event type: rank types by count within each
+    tumbling hour (ties break on type name) and keep the winner.
+    (hour string, event_type, n)."""
+    hourly = events.groupBy(
+        F.date_format(F.window("ts", "1 hour").start, "yyyy-MM-dd HH").alias("hour"),
+        "event_type",
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("hour").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        hourly.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("hour", "event_type", "n")
+    )
+
+
 def extract_props(events: DataFrame) -> DataFrame:
     """JSON property extraction: (event_id, k) — ``get_json_object`` stays
     in the JVM (no Python json.loads per row)."""

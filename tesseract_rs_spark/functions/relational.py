@@ -81,6 +81,33 @@ def local_supplier_volume(
     )
 
 
+def promo_revenue_by_type(
+    lineitem: DataFrame,
+    part: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-02-01",
+) -> DataFrame:
+    """TPC-H Q14-shaped join: per part type, cents-exact revenue and item
+    count for one ship month.  The part table broadcasts — the fact side
+    joins map-side; the only exchange is the tiny per-type group-by."""
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= date_from) & (F.col("l_shipdate") < date_to)
+    )
+    revenue_c4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    return (
+        li.join(broadcast(part.select("p_partkey", "p_type")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(
+            F.sum(revenue_c4).alias("revenue_c4"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def top_orders_by_quantity(
     lineitem: DataFrame, orders: DataFrame, customer: DataFrame, k: int = 10
 ) -> DataFrame:
