@@ -432,8 +432,16 @@ def _q_ann_cosine_topk(spark, sf_dir):
 
 
 def _q_ann_lsh_topk(spark, sf_dir):
+    """Bucketed ANN at full-recall amplification: 2-plane tables x 40
+    (per-neighbor miss < 1e-5 even at cosine ~0.3, the rank-5 boundary in
+    this near-random corpus), so the bucketed candidates recall the whole
+    exact top-k and the result shares cosine_topk's SQL oracle.  The
+    approximate regime (deep tables, partial recall, strong pruning) is
+    exercised separately in tests/test_functions.py."""
     emb = _emb(spark, sf_dir)
-    return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return ann_lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=2, n_tables=40
+    )
 
 
 def _events(spark, sf_dir):
@@ -1169,9 +1177,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
         FROM ranked WHERE rank <= 5
         """,
-        # dedup_minhash_lsh / ann_lsh_topk: seed-deterministic but not
-        # SQL-expressible -> rows-only check; their quality is asserted
-        # against exact baselines in tests/test_functions.py
+        # at full-recall LSH amplification the bucketed top-k equals the
+        # exact top-k, so ann_lsh_topk shares cosine_topk's oracle
+        "ann_lsh_topk": """
+        WITH q AS (
+          SELECT CAST(vec_id AS BIGINT) AS query_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id < 10
+        ),
+        c AS (
+          SELECT CAST(vec_id AS BIGINT) AS neighbor_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+          FROM embeddings
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id
+                 ) AS rank
+          FROM q, c WHERE neighbor_id <> query_id
+        )
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+        FROM ranked WHERE rank <= 5
+        """,
         "simhash": _WORDS_CTE
         + """
         , sh AS (
