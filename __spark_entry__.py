@@ -124,6 +124,21 @@ def _q_extract_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_word_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """is_at_beginning_of / is_at_final_element surface: per-word
+    line/block/document start/end booleans (page-iterator position
+    predicates) — closed-form from the paragraph layout."""
+    from tesseract_rs_spark.operators.assemble import position_flags
+
+    pages = pages_from_documents(_docs(spark, sf_dir), para_words=PARA_WORDS)
+    words = extract_words(pages, id_cols=("doc_id",))
+    return position_flags(words, key="doc_id").select(
+        "doc_id", "block_id", "line_id", "word_id",
+        "is_line_start", "is_line_end", "is_block_start", "is_block_end",
+        "is_doc_start", "is_doc_end",
+    )
+
+
 def _q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages_from_documents(_docs(spark, sf_dir), para_words=PARA_WORDS)
     return extract_text(pages, id_cols=("doc_id",)).select(
@@ -594,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text": _q_extract_text,
         "extract_text_single": _q_extract_text_single,
         "extract_words": _q_extract_words,
+        "extract_word_flags": _q_extract_word_flags,
         "extract_metrics": _q_extract_metrics,
         "extract_status_counts": _q_extract_status_counts,
         "extract_mean_conf": _q_extract_mean_conf,
@@ -684,6 +700,21 @@ def oracle_sql() -> dict[str, str]:
                CAST((wid - 1) % {PARA_WORDS} AS BIGINT) AS word_id,
                w AS word
         FROM words
+        """,
+        "extract_word_flags": _WORDS_CTE
+        + f"""
+        , totals AS (SELECT doc_id, COUNT(*) AS tot FROM words GROUP BY 1)
+        SELECT w.doc_id,
+               CAST((wid - 1) // {PARA_WORDS} AS BIGINT) AS block_id,
+               CAST(0 AS BIGINT) AS line_id,
+               CAST((wid - 1) % {PARA_WORDS} AS BIGINT) AS word_id,
+               (wid - 1) % {PARA_WORDS} = 0 AS is_line_start,
+               (wid % {PARA_WORDS} = 0 OR wid = t.tot) AS is_line_end,
+               (wid - 1) % {PARA_WORDS} = 0 AS is_block_start,
+               (wid % {PARA_WORDS} = 0 OR wid = t.tot) AS is_block_end,
+               wid = 1 AS is_doc_start,
+               wid = t.tot AS is_doc_end
+        FROM words w JOIN totals t ON w.doc_id = t.doc_id
         """,
         "extract_metrics": f"""
         SELECT CAST(doc_id AS BIGINT) AS doc_id,

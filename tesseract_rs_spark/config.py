@@ -155,3 +155,20 @@ class ExtractConfig:
         if name not in self.variables:
             raise KeyError(f"unknown variable: {name}")
         return self.variables[name]
+
+    def set_debug_variable(self, name: str, value: str) -> "ExtractConfig":
+        """set_debug_variable analog: recorded in the variables map (and
+        dumped by :meth:`print_variables`) but never consumed by a kernel
+        — debug knobs must not change extraction output."""
+        new_vars = dict(self.variables)
+        new_vars[name] = value
+        return replace(self, variables=new_vars)
+
+    def print_variables(self) -> str:
+        """print_variables_to_file analog: one ``name\\tvalue`` line per
+        recorded variable, sorted — a deterministic debug dump the caller
+        writes wherever it wants (files are the caller's concern in a
+        distributed engine)."""
+        return "".join(
+            f"{k}\t{v}\n" for k, v in sorted(self.variables.items())
+        )

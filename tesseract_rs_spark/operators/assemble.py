@@ -74,3 +74,33 @@ def all_word_confidences(words: DataFrame, key: str = "url") -> DataFrame:
             lambda s: s["conf"],
         ).alias("confs")
     )
+
+
+def position_flags(words: DataFrame, key: str = "url") -> DataFrame:
+    """is_at_beginning_of / is_at_final_element analogs
+    (/root/reference/src/page_iterator.rs begin/final predicates, SURVEY
+    §2.3): per word, boolean flags for starting/ending its line, block,
+    and document — pure min/max window comparisons over the reading-order
+    id columns, no Python and no extra shuffle beyond the per-document
+    window."""
+    from pyspark.sql import Window
+
+    doc = Window.partitionBy(key)
+    block = Window.partitionBy(key, "block_id")
+    line = Window.partitionBy(key, "block_id", "line_id")
+    order = F.struct("block_id", "para_id", "line_id", "word_id")
+    return words.select(
+        "*",
+        (F.col("word_id") == F.min("word_id").over(line)).alias("is_line_start"),
+        (F.col("word_id") == F.max("word_id").over(line)).alias("is_line_end"),
+        (
+            (F.col("line_id") == F.min("line_id").over(block))
+            & (F.col("word_id") == F.min("word_id").over(line))
+        ).alias("is_block_start"),
+        (
+            (F.col("line_id") == F.max("line_id").over(block))
+            & (F.col("word_id") == F.max("word_id").over(line))
+        ).alias("is_block_end"),
+        (order == F.min(order).over(doc)).alias("is_doc_start"),
+        (order == F.max(order).over(doc)).alias("is_doc_end"),
+    )

@@ -145,3 +145,54 @@ class TestRendererMetadata:
         rows = with_image_num(spark.createDataFrame(pdf)).collect()
         got = {(r["url"], r["page_num"]): r["image_num"] for r in rows}
         assert got == {("a", 3): 0, ("a", 7): 1, ("a", 10): 2, ("b", 1): 0}
+
+
+class TestDebugVariables:
+    def test_debug_variables_recorded_but_inert(self):
+        from tesseract_rs_spark.config import ExtractConfig
+        from tesseract_rs_spark.corpus import render_html
+        from tesseract_rs_spark.kernels.html import extract_doc
+
+        base = ExtractConfig()
+        dbg = base.set_debug_variable("classify_debug_level", "3")
+        page = render_html("debug knob must not change output words", 1).encode()
+        assert extract_doc(page, dbg).text == extract_doc(page, base).text
+        assert dbg.get_variable("classify_debug_level") == "3"
+
+    def test_print_variables_dump(self):
+        from tesseract_rs_spark.config import ExtractConfig
+
+        cfg = (
+            ExtractConfig()
+            .with_variable("tessedit_char_whitelist", "abc")
+            .set_debug_variable("zz_debug", "1")
+        )
+        assert cfg.print_variables() == "tessedit_char_whitelist\tabc\nzz_debug\t1\n"
+
+
+def test_position_flags(spark):
+    import pandas as pd
+
+    from tesseract_rs_spark.operators.assemble import position_flags
+
+    words = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["u"] * 4,
+                "block_id": [0, 0, 1, 1],
+                "para_id": [0, 0, 0, 0],
+                "line_id": [0, 0, 0, 1],
+                "word_id": [0, 1, 0, 0],
+                "word": ["a", "b", "c", "d"],
+            }
+        )
+    )
+    rows = {
+        (r["block_id"], r["line_id"], r["word_id"]): r
+        for r in position_flags(words).collect()
+    }
+    assert rows[(0, 0, 0)]["is_line_start"] and rows[(0, 0, 0)]["is_doc_start"]
+    assert rows[(0, 0, 1)]["is_line_end"] and rows[(0, 0, 1)]["is_block_end"]
+    assert not rows[(0, 0, 1)]["is_doc_end"]
+    assert rows[(1, 1, 0)]["is_doc_end"] and rows[(1, 1, 0)]["is_block_end"]
+    assert rows[(1, 0, 0)]["is_block_start"] and not rows[(1, 0, 0)]["is_block_end"]
