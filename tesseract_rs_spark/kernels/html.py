@@ -248,11 +248,13 @@ def _segment(doc: str, cfg: ExtractConfig, deadline: float | None = None) -> lis
             elif cur is not None:
                 cur.parts.append(" ")
         pos = m.end()
-        close_g, tag, attrs = m.group("close", "tag", "attrs")
+        # positional groups (2=close, 3=tag; 4=attrs fetched lazily below —
+        # only opening block tags ever need it)
+        tag = m.group(3)
         if tag is None:
             continue  # comment / doctype / raw-text element
         tag = tag.lower()
-        closing = close_g == "/"
+        closing = m.group(2) == "/"
         if tag == "br" and not closing:
             if cur is None:
                 cur = Block(tag=cur_tag, src_start=pos, src_end=pos)
@@ -282,6 +284,7 @@ def _segment(doc: str, cfg: ExtractConfig, deadline: float | None = None) -> lis
                 hard = tag in hard_tags
                 content = tag in content_tags
                 neg = pos_ = False
+                attrs = m.group(4)
                 if attrs and ("class" in attrs or "id" in attrs or "Id" in attrs or "ID" in attrs or "Class" in attrs or "CLASS" in attrs):
                     for am in _CLASS_ID_RE.finditer(attrs):
                         val = am.group(2) or am.group(3) or am.group(4) or ""
