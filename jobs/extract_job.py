@@ -36,6 +36,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--whitelist", default=None)
     p.add_argument("--blacklist", default=None)
+    p.add_argument("--oem", type=int, default=3,
+                   help="engine mode: 0 template matcher, 1 NCC matcher")
+    p.add_argument("--timeout-ms", type=int, default=None,
+                   help="per-page wall-clock budget; expired pages become status='timeout' rows")
+    p.add_argument("--config-file", default=None,
+                   help="bulk 'name value' variables file (read_config_file analog)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--group-size", type=int, default=8)
@@ -64,7 +70,15 @@ def main(argv=None) -> int:
     else:
         spark = SparkSession.builder.appName("extract-job").getOrCreate()
 
-    cfg = ExtractConfig(lang=args.lang, mode=mode_from_int(args.psm))
+    from tesseract_rs_spark.config import oem_from_int
+
+    cfg = ExtractConfig(
+        lang=args.lang, mode=mode_from_int(args.psm), oem=oem_from_int(args.oem)
+    )
+    if args.config_file:
+        cfg = cfg.with_config_file(args.config_file)
+    if args.timeout_ms is not None:
+        cfg = cfg.with_variable("page_timeout_ms", str(args.timeout_ms))
     if args.whitelist:
         cfg = cfg.with_variable("tessedit_char_whitelist", args.whitelist)
     if args.blacklist:
