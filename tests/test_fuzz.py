@@ -65,3 +65,40 @@ def test_raster_valid_header_arbitrary_payload(w, h, body):
     page = struct.pack("<Iiiii", MAGIC, w, h, 1, w) + body
     r = extract_raster_doc(page)
     assert r.status in {"ok", "invalid_image_data"}
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=2048))
+def test_media_decoders_never_raise(payload):
+    """PGM/PPM/WAV/VSEQ decoders are total functions: arbitrary bytes
+    yield a status, never an exception, and are deterministic."""
+    from tesseract_rs_spark.functions.multimodal import (
+        decode_audio,
+        decode_frame,
+        decode_image,
+    )
+
+    img, st1 = decode_image(payload)
+    assert st1 in ("ok", "unsupported_codec", "invalid_image_data")
+    samples, sr, st2 = decode_audio(payload)
+    assert st2 in ("ok", "unsupported_codec", "invalid_audio_data")
+    frame, st3 = decode_frame(payload, 0) if payload[:4] == b"VSEQ" else (None, "unsupported_codec")
+    assert st3 in ("ok", "unsupported_codec", "invalid_video_data", "frame_out_of_range")
+    img_b, st1b = decode_image(payload)
+    assert st1b == st1
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.binary(min_size=2, max_size=512).map(lambda b: b"P5" + b),
+    st.binary(min_size=4, max_size=512).map(lambda b: b"RIFF" + b),
+)
+def test_media_decoders_hostile_headers(pgmish, wavish):
+    """Bytes that LOOK like the right container but carry garbage headers
+    must come back as status rows too."""
+    from tesseract_rs_spark.functions.multimodal import decode_audio, decode_image
+
+    _img, st1 = decode_image(pgmish)
+    assert st1 in ("ok", "unsupported_codec", "invalid_image_data")
+    _s, _sr, st2 = decode_audio(wavish)
+    assert st2 in ("ok", "unsupported_codec", "invalid_audio_data")
