@@ -67,6 +67,7 @@ from tesseract_rs_spark.operators.ocr import (
     word_font_attributes,
 )
 from tesseract_rs_spark.operators.renderers import (
+    render_box_raster,
     render_hocr_bbox,
     render_lstm_box,
     render_tsv,
@@ -198,6 +199,14 @@ def _q_render_tsv_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages_from_documents(_docs(spark, sf_dir), para_words=PARA_WORDS)
     words = extract_words(pages, id_cols=("doc_id",))
     return render_tsv(words, key="doc_id")
+
+
+def _q_render_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference box-file format: per-symbol lines with BOTTOM-LEFT-origin
+    coordinates (y flipped against the page height)."""
+    pages = raster_pages_from_documents(_docs(spark, sf_dir), WPL, LPP)
+    words = ocr_words(pages, id_cols=("doc_id",))
+    return render_box_raster(words, key="doc_id")
 
 
 def _q_render_lstm_box(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -617,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_unlv": _q_render_unlv,
         "render_tsv": _q_render_tsv,
         "render_tsv_spans": _q_render_tsv_spans,
+        "render_box": _q_render_box,
         "render_lstm_box": _q_render_lstm_box,
         "render_wordstr_box": _q_render_wordstr_box,
         "ocr_text": _q_ocr_text,
@@ -787,6 +797,44 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, string_agg(line, chr(10) ORDER BY wid) AS tsv
         FROM tsv_lines GROUP BY doc_id
+        """,
+        "render_box": _WORDS_CTE
+        + f"""
+        , geo AS (
+          SELECT doc_id, w, wid,
+                 (wid - 1) // {WPL} AS li,
+                 16 + COALESCE(SUM(18 * length(w) + 12) OVER (
+                      PARTITION BY doc_id, (wid - 1) // {WPL}
+                      ORDER BY wid
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS left_px
+          FROM words
+        ),
+        dims AS (
+          SELECT doc_id,
+                 CAST(32 + (MAX(li) + 1) * 36 - 12
+                      + (CEIL((MAX(li) + 1) / {LPP}.0) - 1) * 24 AS BIGINT)
+                   AS page_h
+          FROM geo GROUP BY doc_id
+        ),
+        syms AS (
+          SELECT g.doc_id, g.wid, g.li, g.left_px, d.page_h,
+                 generate_subscripts(string_split(g.w, ''), 1) - 1 AS sid,
+                 unnest(string_split(g.w, '')) AS glyph
+          FROM geo g JOIN dims d ON g.doc_id = d.doc_id
+        )
+        SELECT doc_id,
+               string_agg(
+                 glyph || ' '
+                 || CAST(left_px + sid * 18 AS VARCHAR) || ' '
+                 || CAST(page_h - (16 + li * 36 + (li // {LPP}) * 24 + 24)
+                         AS VARCHAR) || ' '
+                 || CAST(left_px + sid * 18 + 16 AS VARCHAR) || ' '
+                 || CAST(page_h - (16 + li * 36 + (li // {LPP}) * 24)
+                         AS VARCHAR)
+                 || ' 0',
+                 chr(10) ORDER BY wid, sid) AS box
+        FROM syms GROUP BY doc_id
         """,
         "render_lstm_box": _WORDS_CTE
         + f"""

@@ -142,6 +142,10 @@ class RasterResult:
     script_conf: float = 0.0
     writing_direction: str = "left_to_right"
     textline_order: str = "top_to_bottom"
+    # upright page dimensions (post auto-rotation) — the coordinate frame
+    # of the word boxes; needed by bottom-left-origin box renderers
+    page_width: int = 0
+    page_height: int = 0
 
 
 # ---------------------------------------------------------------------------
@@ -1013,6 +1017,8 @@ def extract_raster_doc(
         orientation_conf=orient_conf,
         script=script,
         script_conf=script_conf,
+        page_width=int(binary.shape[1]) + roi_left,
+        page_height=int(binary.shape[0]) + roi_top,
     )
 
 

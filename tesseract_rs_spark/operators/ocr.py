@@ -358,6 +358,7 @@ def ocr_words(
     schema = _id_schema(pages, id_cols) + ", " + OCR_WORD_FIELDS
     if include_lang:
         schema += ", word_lang string"
+    schema += ", page_width long, page_height long"
     id_cols = tuple(id_cols)
     keys = (
         "block_id", "para_id", "line_id", "word_id", "word", "conf",
@@ -394,6 +395,18 @@ def ocr_words(
                     out[k] = np.asarray(t[i], dtype=np.float64)
                 else:
                     out[k] = np.asarray(t[i], dtype=np.int64)
-            yield pd.DataFrame(out)[list(id_cols) + list(keys)]
+            # page dims: per-doc values repeated per word (the coordinate
+            # frame for bottom-left-origin box renderers)
+            out["page_width"] = np.repeat(
+                np.fromiter((r.page_width for r in docs), np.int64, len(docs)),
+                counts,
+            )
+            out["page_height"] = np.repeat(
+                np.fromiter((r.page_height for r in docs), np.int64, len(docs)),
+                counts,
+            )
+            yield pd.DataFrame(out)[
+                list(id_cols) + list(keys) + ["page_width", "page_height"]
+            ]
 
     return pages.select(*id_cols, payload_col).mapInPandas(gen, schema=schema)

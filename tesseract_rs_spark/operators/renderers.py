@@ -166,6 +166,53 @@ def render_lstm_box(words: DataFrame, key: str = "url") -> DataFrame:
     )
 
 
+def render_box_raster(words: DataFrame, key: str = "url") -> DataFrame:
+    """Tesseract box-file renderer over the raster word table
+    (get_box_text, /root/reference/src/api.rs:467-480): one line per
+    SYMBOL, ``char left bottom right top page`` with the reference's
+    BOTTOM-LEFT origin — y coordinates are flipped against the page
+    height the word table carries."""
+    from tesseract_rs_spark.kernels.raster import ADVANCE, GLYPH_W
+
+    sym = words.select(
+        key,
+        "block_id",
+        "para_id",
+        "line_id",
+        "word_id",
+        "top",
+        "bottom",
+        "page_height",
+        F.col("left").alias("_wleft"),
+        F.posexplode(F.split("word", "")).alias("symbol_id", "glyph"),
+    ).filter(F.col("glyph") != "")
+    line = F.format_string(
+        "%s %d %d %d %d 0",
+        F.col("glyph"),
+        F.col("_wleft") + F.col("symbol_id") * ADVANCE,
+        F.col("page_height") - F.col("bottom"),
+        F.col("_wleft") + F.col("symbol_id") * ADVANCE + GLYPH_W,
+        F.col("page_height") - F.col("top"),
+    )
+    rendered = sym.withColumn("_line", line)
+    return rendered.groupBy(key).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "block_id", "para_id", "line_id", "word_id",
+                            "symbol_id", "_line",
+                        )
+                    )
+                ),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("box")
+    )
+
+
 def render_wordstr_box(words: DataFrame, key: str = "url") -> DataFrame:
     """WordStr box renderer (get_word_str_box_text analog,
     /root/reference/src/api.rs:515-528): one line per TEXT LINE,
