@@ -429,6 +429,28 @@ def _q_pii_scrub(spark, sf_dir):
     return pii_scrub(injected)
 
 
+def _q_url_normalize(spark, sf_dir):
+    """URL canonicalization over deterministically-messied URLs (mixed
+    host case, utm tracking params, fragments) — every step is the same
+    regex chain in both engines."""
+    from tesseract_rs_spark.functions.cleaning import url_normalize
+
+    docs = _docs(spark, sf_dir)
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://Example.ORG/en/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=feed&id="),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("&utm_campaign=x"),
+            F.lit("#section-"),
+            (F.col("doc_id") % 3).cast("string"),
+        ).alias("url"),
+    )
+    return url_normalize(messy)
+
+
 def _q_contamination(spark, sf_dir):
     """Benchmark-contamination: docs with doc_id % 50 == 0 form the
     benchmark set; count each document's shingles that appear in it."""
@@ -649,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "pii_scrub": _q_pii_scrub,
+        "url_normalize": _q_url_normalize,
         "contamination": _q_contamination,
         "dedup_paragraphs": _q_dedup_paragraphs,
         "simhash": _q_simhash,
@@ -1171,6 +1194,31 @@ def oracle_sql() -> dict[str, str]:
                       '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b'))
                     AS BIGINT) AS n_pii
         FROM injected
+        """,
+        "url_normalize": """
+        WITH messy AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 'https://Example.ORG/en/' || CAST(doc_id AS VARCHAR)
+                 || '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR)
+                 || '&utm_campaign=x'
+                 || '#section-' || CAST(doc_id % 3 AS VARCHAR) AS url
+          FROM documents
+        ),
+        steps AS (
+          SELECT doc_id,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(url, '#.*$', ''),
+                       'utm_[a-z_]+=[^&#]*&', '', 'g'),
+                     'utm_[a-z_]+=[^&#]*$', ''),
+                   '[?&]$', '') AS u
+          FROM messy
+        )
+        SELECT doc_id,
+               lower(regexp_extract(u, '^[a-zA-Z]+://[^/]+', 0))
+               || regexp_replace(u, '^[a-zA-Z]+://[^/]+', '') AS url_norm
+        FROM steps
         """,
         "contamination": _WORDS_CTE
         + """

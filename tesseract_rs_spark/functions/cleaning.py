@@ -46,6 +46,32 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id", col: str = "text") -> Dat
     )
 
 
+# URL canonicalization steps (cross-engine-safe regexes, applied in order)
+_URL_FRAGMENT_RE = "#.*$"
+_URL_UTM_MID_RE = "utm_[a-z_]+=[^&#]*&"
+_URL_UTM_TAIL_RE = "utm_[a-z_]+=[^&#]*$"
+_URL_DANGLING_RE = "[?&]$"
+_URL_HOST_RE = "^[a-zA-Z]+://[^/]+"
+
+
+def url_normalize(docs: DataFrame, id_col: str = "doc_id", col: str = "url") -> DataFrame:
+    """(id, url_norm): canonicalize URLs for dedup/grouping — lowercase
+    scheme+host, drop the fragment, strip ``utm_*`` tracking parameters,
+    tidy dangling separators.  Chained ``regexp_replace`` — whole-stage
+    codegen, zero Python; the URL-dedup preprocessing step of web-corpus
+    pipelines."""
+    u = F.col(col)
+    u = F.regexp_replace(u, _URL_FRAGMENT_RE, "")
+    u = F.regexp_replace(u, _URL_UTM_MID_RE, "")
+    u = F.regexp_replace(u, _URL_UTM_TAIL_RE, "")
+    u = F.regexp_replace(u, _URL_DANGLING_RE, "")
+    host = F.lower(F.regexp_extract(u, _URL_HOST_RE, 0))
+    rest = F.regexp_replace(u, _URL_HOST_RE, "")
+    return docs.select(
+        F.col(id_col), F.concat(host, rest).alias("url_norm")
+    )
+
+
 def contamination(
     docs: DataFrame,
     benchmark: DataFrame,
