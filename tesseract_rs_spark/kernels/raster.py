@@ -212,8 +212,14 @@ def connected_components(binary: np.ndarray) -> tuple:
     padded = np.zeros((h, w + 2), dtype=bool)
     padded[:, 1:-1] = binary
     d = np.diff(padded.view(np.int8), axis=1)
-    run_row, run_start = np.nonzero(d == 1)
-    _, run_end = np.nonzero(d == -1)  # same count/order as starts
+    # ONE nonzero over the transition matrix (d in {-1,0,1}); +1/-1 runs
+    # interleave in matched pairs within each row, so filtering by sign
+    # keeps starts[i] paired with ends[i] — the second nonzero (and its
+    # boolean temporaries) was half the labeling cost
+    t_row, t_col = np.nonzero(d)
+    pos = d[t_row, t_col] == 1
+    run_row, run_start = t_row[pos], t_col[pos]
+    run_end = t_col[~pos]  # same count/order as starts
     n_runs = len(run_row)
     if n_runs == 0:
         return 0, np.zeros((0, 5), dtype=np.int64)
