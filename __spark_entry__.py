@@ -393,6 +393,12 @@ def _q_shingle_fingerprint(spark, sf_dir):
     return shingle_fingerprint(_docs(spark, sf_dir))
 
 
+def _q_repetition_signals(spark, sf_dir):
+    from tesseract_rs_spark.functions.text import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir))
+
+
 def _q_dedup_summary(spark, sf_dir):
     return dedup_summary(_docs(spark, sf_dir))
 
@@ -667,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "shingle_fingerprint": _q_shingle_fingerprint,
+        "repetition_signals": _q_repetition_signals,
         "dedup_summary": _q_dedup_summary,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -1140,6 +1147,32 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
         LEFT JOIN (SELECT doc_id, min(md5(s)) AS shingle_fp
                    FROM sh GROUP BY doc_id) f USING (doc_id)
+        """,
+        "repetition_signals": _WORDS_CTE
+        + """
+        , wc AS (
+          SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+          FROM words GROUP BY doc_id, w
+        ),
+        word_stats AS (
+          SELECT doc_id, MAX(c) AS top_word_count,
+                 CAST(count(*) AS BIGINT) AS n_distinct_words,
+                 CAST(SUM(c) AS BIGINT) AS n_words
+          FROM wc GROUP BY doc_id
+        ),
+        grams AS (
+          SELECT a.doc_id, a.w || ' ' || b.w AS g
+          FROM words a JOIN words b
+            ON a.doc_id = b.doc_id AND b.wid = a.wid + 1
+        ),
+        gc AS (
+          SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+          FROM grams GROUP BY doc_id, g
+        ),
+        gram_stats AS (SELECT doc_id, MAX(c) AS top_2gram_count FROM gc GROUP BY doc_id)
+        SELECT w.doc_id, w.n_words, w.n_distinct_words, w.top_word_count,
+               COALESCE(g.top_2gram_count, 0) AS top_2gram_count
+        FROM word_stats w LEFT JOIN gram_stats g ON w.doc_id = g.doc_id
         """,
         "dedup_summary": """
         SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -150,6 +150,60 @@ def word_shingles(col: str = "text", n: int = 3) -> Column:
     )
 
 
+def word_ngrams_all(col: str = "text", n: int = 2) -> Column:
+    """ALL word n-grams (with repeats — unlike :func:`word_shingles`),
+    empty for docs shorter than ``n`` words."""
+    t = tokens(col)
+    full = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+    )
+    return F.when(F.size(t) >= n, full).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition counters (Rae et al. 2021 quality filters,
+    public): per doc, the exact-integer ingredients of the
+    top-word-fraction and top-2-gram-fraction rules —
+    (id, n_words, n_distinct_words, top_word_count, top_2gram_count).
+
+    Scale shape: explode + groupBy on (id, token) — the shuffle carries
+    (id, gram, partial count) keys with map-side combine, never the text;
+    same class as the shingle ops."""
+    words = docs.select(
+        F.col(id_col), F.explode(tokens()).alias("_w")
+    )
+    top_word = (
+        words.groupBy(id_col, "_w")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.max("_c").alias("top_word_count"),
+            F.count("*").alias("n_distinct_words"),
+            F.sum("_c").alias("n_words"),
+        )
+    )
+    grams = docs.select(
+        F.col(id_col), F.explode(word_ngrams_all("text", 2)).alias("_g")
+    )
+    top_gram = (
+        grams.groupBy(id_col, "_g")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("top_2gram_count"))
+    )
+    return (
+        top_word.join(top_gram, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            "n_distinct_words",
+            "top_word_count",
+            F.coalesce("top_2gram_count", F.lit(0)).alias("top_2gram_count"),
+        )
+    )
+
+
 def shingle_fingerprint(docs: DataFrame, id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Rolling-hash document fingerprint: the minimum md5 over word
     n-gram shingles (one-permutation minhash; winnowing-style selection)."""

@@ -249,3 +249,27 @@ def test_cleaning_ops(spark):
     }
     # "one two three" occurs 3x across the corpus (twice in doc 1)
     assert pd_rows == {1: (2, 2), 2: (2, 1)}
+
+
+def test_repetition_signals(spark):
+    import pandas as pd
+
+    from tesseract_rs_spark.functions.text import repetition_signals
+
+    d = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "spam spam spam spam ham",      # heavy repetition
+                    "all unique words right here",   # none
+                    "one",                           # too short for 2-grams
+                ],
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(d).collect()}
+    assert rows[1]["n_words"] == 5 and rows[1]["n_distinct_words"] == 2
+    assert rows[1]["top_word_count"] == 4 and rows[1]["top_2gram_count"] == 3
+    assert rows[2]["top_word_count"] == 1 and rows[2]["top_2gram_count"] == 1
+    assert rows[3]["n_words"] == 1 and rows[3]["top_2gram_count"] == 0
