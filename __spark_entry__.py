@@ -616,6 +616,16 @@ def _q_rel_promo_revenue(spark, sf_dir):
     )
 
 
+def _q_events_asof(spark, sf_dir):
+    """Backward as-of join (Spark lacks it natively; built as union +
+    ordered window): purchases attributed to the most recent
+    prior-or-equal click per user.  DuckDB's native ASOF JOIN is the
+    oracle."""
+    from tesseract_rs_spark.functions.events import attribute_purchases
+
+    return attribute_purchases(_events(spark, sf_dir))
+
+
 def _q_events_sliding(spark, sf_dir):
     return sliding_counts(_events(spark, sf_dir))
 
@@ -695,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_top_orders": _q_rel_top_orders,
         "rel_local_supplier_volume": _q_rel_local_supplier_volume,
         "rel_promo_revenue": _q_rel_promo_revenue,
+        "events_asof": _q_events_asof,
         "events_sliding": _q_events_sliding,
         "events_top_type": _q_events_top_type,
         "render_hocr": _q_render_hocr,
@@ -1540,6 +1551,23 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1996-02-01'
         GROUP BY p.p_type
+        """,
+        "events_asof": """
+        WITH clicks AS (
+          SELECT CAST(user_id AS BIGINT) AS user_id, ts,
+                 CAST(MAX(event_id) AS BIGINT) AS click_id
+          FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        ),
+        p AS (
+          SELECT CAST(user_id AS BIGINT) AS user_id, ts,
+                 CAST(event_id AS BIGINT) AS purchase_id
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.purchase_id, p.user_id, c.click_id,
+               CAST(floor(epoch(p.ts)) AS BIGINT)
+                 - CAST(floor(epoch(c.ts)) AS BIGINT) AS gap_s
+        FROM p ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         "events_sliding": """
         WITH two AS (

@@ -88,6 +88,92 @@ def top_type_per_hour(events: DataFrame) -> DataFrame:
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    payload_cols: tuple = ("event_id",),
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: each left row picks the most recent right row
+    with ``right.ts <= left.ts`` within the same ``key`` (Spark has no
+    native ASOF JOIN; DuckDB does — the oracle uses it).
+
+    Implementation is the classic union + ordered-window trick, fully
+    JVM-side: tag both sides, sort (key, ts, side) with the right side
+    first on ties, and carry the right payload forward with
+    ``last(..., ignorenulls=True)``.  ONE shuffle on the key; no
+    per-row Python; skew-safe under AQE like any window.
+
+    The right side must be unique per (key, ts) — dedupe first (ties
+    would make ANY as-of semantics ambiguous)."""
+    l_tag = left.select(
+        F.col(key),
+        F.col(ts_col),
+        F.lit(1).alias("_side"),
+        F.struct(*left.columns).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c + suffix)
+          for c in payload_cols],
+    )
+    r_tag = right.select(
+        F.col(key),
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            l_tag.schema["_lrow"].dataType
+        ).alias("_lrow"),
+        *[F.col(c).alias(c + suffix) for c in payload_cols],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts_col, "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        "*",
+        *[
+            F.last(c + suffix, ignorenulls=True).over(w).alias(c + suffix + "_f")
+            for c in payload_cols
+        ],
+    )
+    out = carried.filter(F.col("_side") == 1).select(
+        F.col("_lrow.*"),
+        *[
+            F.col(c + suffix + "_f").alias(c + suffix)
+            for c in payload_cols
+        ],
+    )
+    return out
+
+
+def attribute_purchases(events: DataFrame) -> DataFrame:
+    """Attribution via as-of join: each purchase is attributed to the
+    user's most recent prior-or-simultaneous click.
+    (purchase_id, user_id, click_id nullable, gap_s nullable)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy(F.col("user_id").cast("long").alias("user_id"), "ts")
+        .agg(F.max("event_id").cast("long").alias("click_id"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts",
+        F.col("event_id").cast("long").alias("purchase_id"),
+    )
+    joined = asof_join(
+        purchases, clicks, key="user_id", ts_col="ts",
+        payload_cols=("click_id", "ts"),
+    )
+    epoch = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "click_id_asof",
+        (epoch("ts") - epoch("ts_asof")).alias("gap_s"),
+    ).withColumnRenamed("click_id_asof", "click_id")
+
+
 def extract_props(events: DataFrame) -> DataFrame:
     """JSON property extraction: (event_id, k) — ``get_json_object`` stays
     in the JVM (no Python json.loads per row)."""

@@ -273,3 +273,37 @@ def test_repetition_signals(spark):
     assert rows[1]["top_word_count"] == 4 and rows[1]["top_2gram_count"] == 3
     assert rows[2]["top_word_count"] == 1 and rows[2]["top_2gram_count"] == 1
     assert rows[3]["n_words"] == 1 and rows[3]["top_2gram_count"] == 0
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of join: most recent right row with ts <= left ts per
+    key; equal timestamps match; no prior right row -> NULL."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from tesseract_rs_spark.functions.events import asof_join
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {"user_id": [1, 1, 1, 2], "ts": [t(5), t(10), t(2), t(7)],
+             "event_id": [100, 101, 102, 103]}
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {"user_id": [1, 1, 2], "ts": [t(3), t(10), t(9)],
+             "event_id": [900, 901, 902]}
+        )
+    )
+    rows = {
+        r["event_id"]: r["event_id_asof"]
+        for r in asof_join(left, right).collect()
+    }
+    assert rows == {
+        100: 900,   # t=5 -> right at t=3
+        101: 901,   # t=10 matches equal-ts right row
+        102: None,  # t=2 has no prior right row
+        103: None,  # user 2's only right row is in the future
+    }
