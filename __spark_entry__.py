@@ -399,6 +399,12 @@ def _q_repetition_signals(spark, sf_dir):
     return repetition_signals(_docs(spark, sf_dir))
 
 
+def _q_kmv_sketch(spark, sf_dir):
+    from tesseract_rs_spark.functions.dedup import kmv_sketch
+
+    return kmv_sketch(_docs(spark, sf_dir))
+
+
 def _q_dedup_summary(spark, sf_dir):
     return dedup_summary(_docs(spark, sf_dir))
 
@@ -684,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "shingle_fingerprint": _q_shingle_fingerprint,
         "repetition_signals": _q_repetition_signals,
+        "kmv_sketch": _q_kmv_sketch,
         "dedup_summary": _q_dedup_summary,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -1184,6 +1191,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT w.doc_id, w.n_words, w.n_distinct_words, w.top_word_count,
                COALESCE(g.top_2gram_count, 0) AS top_2gram_count
         FROM word_stats w LEFT JOIN gram_stats g ON w.doc_id = g.doc_id
+        """,
+        "kmv_sketch": _WORDS_CTE
+        + """
+        , hashes AS (
+          SELECT CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h
+          FROM (SELECT DISTINCT w FROM words)
+        ),
+        kth AS (SELECT MAX(h) AS kth_min_hash
+                FROM (SELECT h FROM hashes ORDER BY h LIMIT 256))
+        SELECT CAST(256 AS BIGINT) AS k, kth_min_hash,
+               CAST(ROUND((255 * POWER(2, 60)) / kth_min_hash) AS BIGINT)
+                 AS estimate
+        FROM kth
         """,
         "dedup_summary": """
         SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -27,7 +27,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from tesseract_rs_spark.functions.text import word_shingles
+from tesseract_rs_spark.functions.text import tokens, word_shingles
 
 _MERSENNE_P = (1 << 61) - 1
 
@@ -238,6 +238,39 @@ def minhash_dedup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")
+    )
+
+
+def kmv_sketch(
+    docs: DataFrame, k: int = 256, id_col: str = "doc_id", col: str = "text"
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch over the corpus vocabulary
+    (Bar-Yossef et al. 2002, public): hash every token to a 60-bit value,
+    keep the k smallest — the k-th smallest estimates the distinct count
+    as (k-1) * 2^60 / kth_min.
+
+    Unlike HLL registers, KMV with a fixed hash is fully DETERMINISTIC,
+    so the sketch itself (k-th minimum) is oracle-checkable cross-engine;
+    the derived estimate's accuracy is asserted in tests.  Scale shape:
+    per-partition top-k via sort-limit (map-side partial), only k hashes
+    per partition reach the driver-side merge.  Returns one row
+    (k, kth_min_hash, estimate)."""
+    hashes = (
+        docs.select(F.explode(tokens(col)).alias("_w"))
+        .distinct()
+        .select(
+            F.conv(F.substring(F.md5(F.col("_w").cast("binary")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("_h")
+        )
+    )
+    kth = hashes.orderBy("_h").limit(k).agg(F.max("_h").alias("kth_min_hash"))
+    return kth.select(
+        F.lit(k).cast("long").alias("k"),
+        "kth_min_hash",
+        F.round((k - 1) * float(1 << 60) / F.col("kth_min_hash"))
+        .cast("long")
+        .alias("estimate"),
     )
 
 

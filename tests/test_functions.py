@@ -307,3 +307,18 @@ def test_asof_join_semantics(spark):
         102: None,  # t=2 has no prior right row
         103: None,  # user 2's only right row is in the future
     }
+
+
+def test_kmv_sketch_estimate_accuracy(spark, docs):
+    import pyspark.sql.functions as F2
+
+    from tesseract_rs_spark.functions.dedup import kmv_sketch
+    from tesseract_rs_spark.functions.text import tokens
+
+    row = kmv_sketch(docs).collect()[0]
+    exact = (
+        docs.select(F2.explode(tokens()).alias("w")).distinct().count()
+    )
+    # KMV relative error ~ 1/sqrt(k) = 6.25% at k=256; allow 3 sigma
+    assert abs(row["estimate"] - exact) / exact < 0.2, (row["estimate"], exact)
+    assert row["k"] == 256 and row["kth_min_hash"] > 0
