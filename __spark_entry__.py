@@ -1198,11 +1198,12 @@ def oracle_sql() -> dict[str, str]:
           SELECT CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h
           FROM (SELECT DISTINCT w FROM words)
         ),
-        kth AS (SELECT MAX(h) AS kth_min_hash
+        kth AS (SELECT MAX(h) AS kth_min_hash, COUNT(*) AS n
                 FROM (SELECT h FROM hashes ORDER BY h LIMIT 256))
         SELECT CAST(256 AS BIGINT) AS k, kth_min_hash,
-               CAST(ROUND((255 * POWER(2, 60)) / kth_min_hash) AS BIGINT)
-                 AS estimate
+               CAST(CASE WHEN n < 256 THEN n
+                    ELSE ROUND((255 * POWER(2, 60)) / kth_min_hash)
+                    END AS BIGINT) AS estimate
         FROM kth
         """,
         "dedup_summary": """

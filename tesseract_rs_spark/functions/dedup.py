@@ -264,11 +264,19 @@ def kmv_sketch(
             .alias("_h")
         )
     )
-    kth = hashes.orderBy("_h").limit(k).agg(F.max("_h").alias("kth_min_hash"))
+    kth = (
+        hashes.orderBy("_h")
+        .limit(k)
+        .agg(F.max("_h").alias("kth_min_hash"), F.count("*").alias("_n"))
+    )
+    # fewer than k distinct values kept = the sketch IS the exact set
     return kth.select(
         F.lit(k).cast("long").alias("k"),
         "kth_min_hash",
-        F.round((k - 1) * float(1 << 60) / F.col("kth_min_hash"))
+        F.when(F.col("_n") < k, F.col("_n"))
+        .otherwise(
+            F.round((k - 1) * float(1 << 60) / F.col("kth_min_hash")).cast("long")
+        )
         .cast("long")
         .alias("estimate"),
     )

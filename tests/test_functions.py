@@ -322,3 +322,17 @@ def test_kmv_sketch_estimate_accuracy(spark, docs):
     # KMV relative error ~ 1/sqrt(k) = 6.25% at k=256; allow 3 sigma
     assert abs(row["estimate"] - exact) / exact < 0.2, (row["estimate"], exact)
     assert row["k"] == 256 and row["kth_min_hash"] > 0
+
+
+def test_kmv_estimation_branch(spark):
+    """Exercise the ESTIMATION regime (distinct >> k) with a synthetic
+    vocabulary, not just the exact small-set branch."""
+    from tesseract_rs_spark.functions.dedup import kmv_sketch
+
+    big = spark.range(500).selectExpr(
+        "id AS doc_id",
+        """array_join(transform(sequence(0, 9),
+           i -> concat('tok', CAST(id * 10 + i AS STRING))), ' ') AS text""",
+    )  # 5000 distinct tokens
+    row = kmv_sketch(big).collect()[0]
+    assert abs(row["estimate"] - 5000) / 5000 < 0.2, row["estimate"]
