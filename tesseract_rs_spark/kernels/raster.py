@@ -1085,10 +1085,12 @@ def render_page(
     if drop_every is not None:
         height += GLYPH_H          # descending drop caps need tail room
         width += 2 * ADVANCE       # and one extra-wide glyph per line
-    img = np.full((height, width), BG, dtype=np.uint8)
-    # deterministic dither so Otsu sees a genuine bimodal histogram
-    yy, xx = np.mgrid[0:height, 0:width]
-    img = (img + ((xx * 7 + yy * 13) % 17) % 8 - 4).astype(np.uint8)
+    # deterministic dither so Otsu sees a genuine bimodal histogram; the
+    # (7x + 13y) lattice is built from broadcast 1-D aranges (mgrid would
+    # materialize two full int64 grids — 10x the cost on oversized pages)
+    yy = (np.arange(height, dtype=np.int32) * 13)[:, None]
+    xx = (np.arange(width, dtype=np.int32) * 7)[None, :]
+    img = (BG + ((xx + yy) % 17) % 8 - 4).astype(np.uint8)
     y = MARGIN
     widx = 0
     for li, line in enumerate(lines):
