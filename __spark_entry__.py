@@ -433,7 +433,7 @@ def _q_pii_scrub(spark, sf_dir):
             F.col("text"),
             F.lit(" contact doc"),
             F.col("doc_id").cast("string"),
-            F.lit("@example.com on 10.0.0."),
+            F.lit("@Example.COM on 10.0.0."),
             (F.col("doc_id") % 256).cast("string"),
             F.lit(" or 555-123-4567"),
         ).alias("text"),
@@ -1237,7 +1237,7 @@ def oracle_sql() -> dict[str, str]:
         WITH injected AS (
           SELECT CAST(doc_id AS BIGINT) AS doc_id,
                  text || ' contact doc' || CAST(doc_id AS VARCHAR)
-                      || '@example.com on 10.0.0.'
+                      || '@Example.COM on 10.0.0.'
                       || CAST(doc_id % 256 AS VARCHAR)
                       || ' or 555-123-4567' AS text
           FROM documents
@@ -1246,13 +1246,13 @@ def oracle_sql() -> dict[str, str]:
                regexp_replace(
                  regexp_replace(
                    regexp_replace(text,
-                     '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+                     '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
                    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
                    '<IP>', 'g'),
                  '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g')
                  AS clean_text,
                CAST(len(regexp_extract_all(text,
-                      '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+                      '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
                     + len(regexp_extract_all(text,
                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
                     + len(regexp_extract_all(text,

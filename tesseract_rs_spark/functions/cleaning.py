@@ -16,8 +16,10 @@ from pyspark.sql.functions import broadcast
 
 from tesseract_rs_spark.functions.text import tokens, word_shingles
 
-# PII patterns (cross-engine-safe subset)
-EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+# PII patterns (cross-engine-safe subset).  (?i) is honored identically by
+# Java regex and RE2 — without it, mixed-case emails (John.Doe@Example.COM)
+# silently escape the scrubber (ADVICE r2).
+EMAIL_RE = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
 PHONE_RE = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
 IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 

@@ -107,14 +107,23 @@ def asof_join(
     per-row Python; skew-safe under AQE like any window.
 
     The right side must be unique per (key, ts) — dedupe first (ties
-    would make ANY as-of semantics ambiguous)."""
+    would make ANY as-of semantics ambiguous).
+
+    All payload columns ride in ONE non-null struct so a matched right
+    row whose payload *value* is NULL is still the row that wins — a
+    per-column ``last(ignorenulls=True)`` would skip it and resurrect an
+    older non-null value, diverging from ASOF semantics (ADVICE r2)."""
+    from pyspark.sql.types import StructField, StructType
+
+    pay_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in payload_cols]
+    )
     l_tag = left.select(
         F.col(key),
         F.col(ts_col),
         F.lit(1).alias("_side"),
         F.struct(*left.columns).alias("_lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c + suffix)
-          for c in payload_cols],
+        F.lit(None).cast(pay_type).alias("_rpay"),
     )
     r_tag = right.select(
         F.col(key),
@@ -123,7 +132,7 @@ def asof_join(
         F.lit(None).cast(
             l_tag.schema["_lrow"].dataType
         ).alias("_lrow"),
-        *[F.col(c).alias(c + suffix) for c in payload_cols],
+        F.struct(*[F.col(c).alias(c) for c in payload_cols]).alias("_rpay"),
     )
     w = (
         Window.partitionBy(key)
@@ -132,17 +141,11 @@ def asof_join(
     )
     carried = l_tag.unionByName(r_tag).select(
         "*",
-        *[
-            F.last(c + suffix, ignorenulls=True).over(w).alias(c + suffix + "_f")
-            for c in payload_cols
-        ],
+        F.last("_rpay", ignorenulls=True).over(w).alias("_rpay_f"),
     )
     out = carried.filter(F.col("_side") == 1).select(
         F.col("_lrow.*"),
-        *[
-            F.col(c + suffix + "_f").alias(c + suffix)
-            for c in payload_cols
-        ],
+        *[F.col("_rpay_f." + c).alias(c + suffix) for c in payload_cols],
     )
     return out
 

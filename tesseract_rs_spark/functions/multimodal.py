@@ -153,6 +153,8 @@ def decode_audio(payload) -> tuple:
         (size,) = struct.unpack_from("<I", buf, pos + 4)
         body = buf[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:  # truncated fmt chunk — stay total
+                return None, 0, "invalid_audio_data"
             fmt, channels, sr = struct.unpack_from("<HHI", body, 0)
             (bits,) = struct.unpack_from("<H", body, 14)
             if fmt != 1:  # non-PCM needs a codec
@@ -162,7 +164,7 @@ def decode_audio(payload) -> tuple:
         pos += 8 + size + (size & 1)
     if data is None or bits != 16 or channels < 1:
         return None, 0, "invalid_audio_data"
-    samples = np.frombuffer(data, dtype="<i2")
+    samples = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
     if channels > 1:
         samples = samples[: len(samples) // channels * channels]
         samples = samples.reshape(-1, channels).mean(axis=1).astype(np.int16)
@@ -190,6 +192,8 @@ def decode_frame(payload, k: int) -> tuple:
         return None, "frame_out_of_range"
     pos = 8
     for i in range(n):
+        if pos + 4 > len(buf):  # truncated frame table — stay total
+            return None, "invalid_video_data"
         (size,) = struct.unpack_from("<I", buf, pos)
         if i == k:
             return decode_image(buf[pos + 4 : pos + 4 + size])
@@ -273,6 +277,38 @@ def audio_stats(media: DataFrame, id_col: str = "media_id", col: str = "payload"
     )
 
 
+def media_header(payload) -> tuple:
+    """Total per-payload header parse -> (width, height, n_frames, status).
+    This is the branch ``decode_media`` runs per row; kept module-level so
+    totality is directly fuzz-testable (ADVICE r2: struct.error escapes)."""
+    buf = bytes(payload) if payload is not None else b""
+    head = buf[:4]
+    if head == MEDIA_MAGIC:
+        if len(buf) < 24:  # truncated MEDI header — stay total
+            return 0, 0, 0, "invalid_media_data"
+        w, h, _sr, _dur, frames = struct.unpack_from("<iiiii", buf, 4)
+        return w, h, frames, "ok"
+    if head[:2] in (b"P5", b"P6"):
+        img, st = decode_image(buf)
+        if img is None:
+            return 0, 0, 0, st
+        return img.shape[1], img.shape[0], 1, st
+    if head == b"RIFF":
+        s, _sr, st = decode_audio(buf)
+        return 0, 0, len(s) if s is not None else 0, st
+    if head == b"VSEQ":
+        if len(buf) < 8:  # truncated count — stay total
+            return 0, 0, 0, "invalid_video_data"
+        (n,) = struct.unpack_from("<I", buf, 4)
+        img, st = decode_frame(buf, 0)
+        if img is None:
+            return 0, 0, n, st
+        return img.shape[1], img.shape[0], n, st
+    # compressed codecs (JPEG/MP3/MP4...) intentionally unimplemented —
+    # no codec libs in this container
+    return 0, 0, 0, "unsupported_codec"
+
+
 def decode_media(media: DataFrame) -> DataFrame:
     """Parse payload headers -> (media_id, kind, width, height, n_frames,
     status).  STUB: only the synthetic MEDI container is implemented; a
@@ -283,39 +319,11 @@ def decode_media(media: DataFrame) -> DataFrame:
             out = {"media_id": pdf["media_id"], "kind": pdf["kind"]}
             ws, hs, fs, status = [], [], [], []
             for payload in pdf["payload"]:
-                head = bytes(payload[:4])
-                if head == MEDIA_MAGIC:
-                    w, h, _sr, _dur, frames = struct.unpack_from("<iiiii", payload, 4)
-                    ws.append(w)
-                    hs.append(h)
-                    fs.append(frames)
-                    status.append("ok")
-                elif head[:2] in (b"P5", b"P6"):
-                    img, st = decode_image(payload)
-                    ws.append(img.shape[1] if img is not None else 0)
-                    hs.append(img.shape[0] if img is not None else 0)
-                    fs.append(1 if img is not None else 0)
-                    status.append(st)
-                elif head == b"RIFF":
-                    s, _sr, st = decode_audio(payload)
-                    ws.append(0)
-                    hs.append(0)
-                    fs.append(len(s) if s is not None else 0)
-                    status.append(st)
-                elif head == b"VSEQ":
-                    (n,) = struct.unpack_from("<I", bytes(payload), 4)
-                    img, st = decode_frame(payload, 0)
-                    ws.append(img.shape[1] if img is not None else 0)
-                    hs.append(img.shape[0] if img is not None else 0)
-                    fs.append(n)
-                    status.append(st)
-                else:
-                    # compressed codecs (JPEG/MP3/MP4...) intentionally
-                    # unimplemented — no codec libs in this container
-                    ws.append(0)
-                    hs.append(0)
-                    fs.append(0)
-                    status.append("unsupported_codec")
+                w, h, n, st = media_header(payload)
+                ws.append(w)
+                hs.append(h)
+                fs.append(n)
+                status.append(st)
             out.update(
                 {
                     "width": pd.array(ws, dtype="int64"),

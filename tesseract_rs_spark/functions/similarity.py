@@ -109,6 +109,9 @@ def lsh_params_for_threshold(threshold: float, miss_target: float = 1e-6) -> tup
     import math
 
     p = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
+    # clamp into an open interval: t=1.0 gives p=1.0 (log 0 division) and
+    # t<=-1 gives p=0.0 (log(0)) — both legal caller inputs (ADVICE r2)
+    p = min(max(p, 1e-9), 1.0 - 1e-9)
     n_planes = max(1, int(math.log(0.05) / math.log(p)))  # keep p^k >= ~5%
     p_table = p**n_planes
     n_tables = max(1, math.ceil(math.log(miss_target) / math.log(1.0 - p_table)))

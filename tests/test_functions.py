@@ -201,11 +201,12 @@ def test_cleaning_ops(spark):
     d = spark.createDataFrame(
         pd.DataFrame(
             {
-                "doc_id": [1, 2, 3],
+                "doc_id": [1, 2, 3, 4],
                 "text": [
                     "write to alice.b+x@corp.example.io or 10.1.2.3 now",
                     "call 555-867-5309 twice 555-867-5309",
                     "totally clean words only",
+                    "mixed case John.Doe@Example.COM leaks",
                 ],
             }
         )
@@ -216,6 +217,8 @@ def test_cleaning_ops(spark):
     assert rows[2]["clean_text"] == "call <PHONE> twice <PHONE>"
     assert rows[2]["n_pii"] == 2
     assert rows[3]["n_pii"] == 0 and rows[3]["clean_text"] == "totally clean words only"
+    assert rows[4]["clean_text"] == "mixed case <EMAIL> leaks"  # (?i) — ADVICE r2
+    assert rows[4]["n_pii"] == 1
 
     docs = spark.createDataFrame(
         pd.DataFrame(
@@ -307,6 +310,45 @@ def test_asof_join_semantics(spark):
         102: None,  # t=2 has no prior right row
         103: None,  # user 2's only right row is in the future
     }
+
+
+def test_asof_join_null_payload(spark):
+    """A matched right row whose payload VALUE is NULL must win (and yield
+    NULL), not be skipped in favor of an older non-null value — DuckDB
+    ASOF semantics (ADVICE r2)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from tesseract_rs_spark.functions.events import asof_join
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [Row(user_id=1, ts=t(20), event_id=100)]
+    )
+    right = spark.createDataFrame(
+        [Row(user_id=1, ts=t(3), payload=900),
+         Row(user_id=1, ts=t(10), payload=None)],
+        schema="user_id bigint, ts timestamp, payload bigint",
+    )
+    rows = asof_join(left, right, payload_cols=("payload", "ts")).collect()
+    assert len(rows) == 1
+    # the t=10 row matched: its NULL payload is preserved, not the t=3 one
+    assert rows[0]["payload_asof"] is None
+    assert rows[0]["ts_asof"] == t(10)
+
+
+def test_lsh_params_threshold_edges():
+    """threshold=1.0 (exact-dup call) and <=-1 must not divide by zero
+    (ADVICE r2)."""
+    from tesseract_rs_spark.functions.similarity import lsh_params_for_threshold
+
+    k, l = lsh_params_for_threshold(1.0)
+    assert k >= 1 and l >= 1
+    k2, l2 = lsh_params_for_threshold(-1.0)
+    assert k2 >= 1 and l2 >= 1
+    k3, l3 = lsh_params_for_threshold(0.9)
+    assert k3 >= 1 and l3 >= 1
 
 
 def test_kmv_sketch_estimate_accuracy(spark, docs):

@@ -102,3 +102,50 @@ def test_media_decoders_hostile_headers(pgmish, wavish):
     assert st1 in ("ok", "unsupported_codec", "invalid_image_data")
     _s, _sr, st2 = decode_audio(wavish)
     assert st2 in ("ok", "unsupported_codec", "invalid_audio_data")
+
+
+def _riff_wave(body: bytes) -> bytes:
+    import struct
+
+    return b"RIFF" + struct.pack("<I", len(body) + 4) + b"WAVE" + body
+
+
+def _vseq(count: int, body: bytes) -> bytes:
+    import struct
+
+    return b"VSEQ" + struct.pack("<I", count) + body
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.binary(min_size=0, max_size=256),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.binary(min_size=0, max_size=256),
+)
+def test_media_decoders_past_magic_gate(wav_body, vseq_count, vseq_body):
+    """Valid magics + arbitrary chunk bodies: the parsing branches BEHIND
+    the magic gate (truncated fmt chunks, missing frame tables, odd-length
+    data chunks) must also be total (ADVICE r2: struct.error escapes)."""
+    from tesseract_rs_spark.functions.multimodal import decode_audio, decode_frame
+
+    _s, _sr, st = decode_audio(_riff_wave(wav_body))
+    assert st in ("ok", "unsupported_codec", "invalid_audio_data")
+    _f, stv = decode_frame(_vseq(vseq_count, vseq_body), 0)
+    assert stv in ("ok", "unsupported_codec", "invalid_video_data", "frame_out_of_range")
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.binary(min_size=0, max_size=64),
+    st.sampled_from([b"MEDI", b"RIFF", b"VSEQ", b"P5\n", b"P6\n"]),
+)
+def test_media_header_truncated_magics(tail, magic):
+    """media_header (the decode_media per-payload branch) over
+    truncated-but-magic'd payloads yields status rows, never struct.error
+    — one corrupt payload must not fail a Spark task (ADVICE r2)."""
+    from tesseract_rs_spark.functions.multimodal import media_header
+
+    w, h, frames, status = media_header(magic + tail)
+    assert isinstance(status, str) and status
+    w2, h2, f2, s2 = media_header(magic + tail)
+    assert (w2, h2, f2, s2) == (w, h, frames, status)
