@@ -91,6 +91,20 @@ _TAIL = (
 )
 
 
+def head_template_len() -> int:
+    """Character length of ``_HEAD`` with empty lang/doc_id — the span-oracle
+    constant: full head length = this + len(lang) + 2*len(str(doc_id))
+    (``{doc_id}`` appears twice: title + comment)."""
+    return len(_HEAD.format(lang="", doc_id=""))
+
+
+VARIANT_PREFIX_LEN = (
+    len("<main>\n<article>\n"),
+    len('<div class="post-body">\n'),
+    0,
+)
+
+
 def render_html(
     text: str,
     doc_id: int,
