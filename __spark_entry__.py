@@ -71,6 +71,7 @@ from tesseract_rs_spark.operators.ocr import (
     word_font_attributes,
 )
 from tesseract_rs_spark.operators.renderers import (
+    render_alto,
     render_box_raster,
     render_hocr_bbox,
     render_lstm_box,
@@ -211,6 +212,18 @@ def _q_render_tsv_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render_tsv(words, key="doc_id")
 
 
+def _q_render_alto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTO-XML renderer (get_alto_text analog,
+    /root/reference/src/api.rs:333-346) over the HTML-path word table;
+    fixed variant 0 so WC is the hard-keep constant and HPOS/WIDTH are the
+    render_tsv_spans span arithmetic."""
+    pages = pages_from_documents(
+        _docs(spark, sf_dir), para_words=PARA_WORDS, variant=0
+    )
+    words = extract_words(pages, id_cols=("doc_id",))
+    return render_alto(words, key="doc_id")
+
+
 def _q_render_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference box-file format: per-symbol lines with BOTTOM-LEFT-origin
     coordinates (y flipped against the page height)."""
@@ -258,6 +271,26 @@ def _q_ocr_symbols(spark, sf_dir):
     pages = raster_pages_from_documents(_docs(spark, sf_dir), WPL, LPP)
     return ocr_symbols(pages, id_cols=("doc_id",)).select(
         "doc_id", "para_id", "line_id", "word_id", "symbol_id", "glyph"
+    )
+
+
+def _q_ocr_choices(spark, sf_dir):
+    """ChoiceIterator surface (/root/reference/src/choice_iterator.rs:30-71):
+    per-symbol top-k alternatives in DESCENDING confidence order
+    (tests/test_iterators.rs:736-769).  On clean renders each glyph cell
+    equals its atlas template, so every alternative's distance — and hence
+    the full (rank, alt_glyph, alt_conf) table — is closed-form atlas
+    arithmetic, SQL-expressible as a per-charset rank lookup."""
+    pages = raster_pages_from_documents(_docs(spark, sf_dir), WPL, LPP)
+    syms = ocr_symbols(pages, id_cols=("doc_id",))
+    return syms.select(
+        "doc_id", "para_id", "line_id", "word_id", "symbol_id", "glyph",
+        F.posexplode("choices").alias("choice_rank", "_c"),
+    ).select(
+        "doc_id", "para_id", "line_id", "word_id", "symbol_id", "glyph",
+        F.col("choice_rank").cast("long").alias("choice_rank"),
+        F.col("_c.glyph").alias("alt_glyph"),
+        F.col("_c.conf").alias("alt_conf"),
     )
 
 
@@ -680,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_unlv": _q_render_unlv,
         "render_tsv": _q_render_tsv,
         "render_tsv_spans": _q_render_tsv_spans,
+        "render_alto": _q_render_alto,
         "render_box": _q_render_box,
         "render_lstm_box": _q_render_lstm_box,
         "render_wordstr_box": _q_render_wordstr_box,
@@ -687,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_words": _q_ocr_words,
         "ocr_metrics": _q_ocr_metrics,
         "ocr_symbols": _q_ocr_symbols,
+        "ocr_choices": _q_ocr_choices,
         "ocr_layout": _q_ocr_layout,
         "ocr_osd": _q_ocr_osd,
         "ocr_multilang": _q_ocr_multilang,
@@ -738,6 +773,36 @@ WITH words AS (
   FROM documents
 )
 """
+
+
+def _choices_values_sql(k: int = 3) -> str:
+    """VALUES literal (glyph, choice_rank, alt_glyph, alt_conf) of the
+    top-k atlas alternatives per charset glyph.  On a clean render the
+    glyph cell equals its template, so dist(c, a) = |atlas_c| + |atlas_a|
+    - 2*(atlas_c . atlas_a) — the same Hamming arithmetic the decoder
+    uses, with its stable-argsort tie rule (charset order)."""
+    import numpy as np
+
+    from tesseract_rs_spark.kernels.raster import (
+        CHARSET,
+        GLYPH_H,
+        GLYPH_W,
+        LANG_ATLASES,
+    )
+
+    atlas = LANG_ATLASES["eng"].astype(np.int64)
+    sums = atlas.sum(axis=1)
+    dists = sums[None, :] + sums[:, None] - 2 * (atlas @ atlas.T)
+    cell = GLYPH_H * GLYPH_W
+    rows = []
+    for ci, c in enumerate(CHARSET):
+        order = np.argsort(dists[ci], kind="stable")[:k]
+        for rank, j in enumerate(order):
+            conf = round(100.0 * (1.0 - float(dists[ci][j]) / cell), 4)
+            esc_c = c.replace("'", "''")
+            esc_a = CHARSET[int(j)].replace("'", "''")
+            rows.append(f"('{esc_c}', {rank}, '{esc_a}', {conf!r})")
+    return ",\n".join(rows)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -862,6 +927,44 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, string_agg(line, chr(10) ORDER BY wid) AS tsv
         FROM tsv_lines GROUP BY doc_id
+        """,
+        "render_alto": _WORDS_CTE
+        + f"""
+        , paras AS (
+          SELECT doc_id, CAST((wid - 1) // {PARA_WORDS} AS BIGINT) AS pid,
+                 string_agg(w, ' ' ORDER BY wid) AS para
+          FROM words GROUP BY doc_id, pid
+        ),
+        heads AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 {head_template_len()} + length(lang)
+                 + 2 * length(CAST(doc_id AS VARCHAR))
+                 + {VARIANT_PREFIX_LEN[0]} AS prefix
+          FROM documents
+        ),
+        geo AS (
+          SELECT p.doc_id, p.pid, p.para,
+                 h.prefix + COALESCE(SUM(length(p.para) + 8) OVER (
+                      PARTITION BY p.doc_id ORDER BY p.pid
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + 3 AS s
+          FROM paras p JOIN heads h ON p.doc_id = h.doc_id
+        ),
+        els AS (
+          SELECT w.doc_id, w.wid,
+                 '<String CONTENT="' || w.w || '" HPOS="'
+                 || CAST(g.s AS VARCHAR) || '" WIDTH="'
+                 || CAST(length(g.para) AS VARCHAR)
+                 || '" WC="0.95"/>' AS el
+          FROM words w
+          JOIN geo g ON w.doc_id = g.doc_id
+                    AND (w.wid - 1) // {PARA_WORDS} = g.pid
+        )
+        SELECT doc_id,
+               '<alto><Layout><Page ID="page_1"><TextLine>'
+               || string_agg(el, '' ORDER BY wid)
+               || '</TextLine></Page></Layout></alto>' AS alto
+        FROM els GROUP BY doc_id
         """,
         "render_tsv": _WORDS_CTE
         + f"""
@@ -1041,6 +1144,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(sid - 1 AS BIGINT) AS symbol_id,
                glyph
         FROM chars
+        """,
+        "ocr_choices": _WORDS_CTE
+        + f"""
+        , chars AS (
+          SELECT doc_id, wid, (wid - 1) // {WPL} AS li,
+                 generate_subscripts(string_split(w, ''), 1) AS sid,
+                 unnest(string_split(w, '')) AS glyph
+          FROM words
+        ),
+        alt(glyph, choice_rank, alt_glyph, alt_conf) AS (
+          VALUES {_choices_values_sql()}
+        )
+        SELECT doc_id,
+               CAST(li // {LPP} AS BIGINT) AS para_id,
+               CAST(li % {LPP} AS BIGINT) AS line_id,
+               CAST((wid - 1) % {WPL} AS BIGINT) AS word_id,
+               CAST(sid - 1 AS BIGINT) AS symbol_id,
+               c.glyph,
+               CAST(a.choice_rank AS BIGINT) AS choice_rank,
+               a.alt_glyph,
+               CAST(a.alt_conf AS DOUBLE) AS alt_conf
+        FROM chars c JOIN alt a ON c.glyph = a.glyph
         """,
         "ocr_layout": _WORDS_CTE
         + f"""
