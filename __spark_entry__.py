@@ -26,6 +26,9 @@ from tesseract_rs_spark.functions.dedup import (
 )
 from tesseract_rs_spark.functions.events import (
     extract_props,
+    interval_join,
+    promo_windows,
+    user_sessions,
     sessionize,
     sliding_counts,
     top_type_per_hour,
@@ -683,6 +686,25 @@ def _q_events_top_type(spark, sf_dir):
     return top_type_per_hour(_events(spark, sf_dir))
 
 
+def _q_events_interval_join(spark, sf_dir):
+    """Range/interval join (VERDICT r2 ask #10): user session intervals x
+    deterministic promo windows, overlap pairs with exact overlap seconds.
+    Scale path = bucketed interval explode + equi-join on bucket + exact
+    verify (functions/events.py:interval_join); DuckDB's native IEJoin
+    range join is the oracle."""
+    sessions = user_sessions(_events(spark, sf_dir))
+    promos = promo_windows(spark)
+    j = interval_join(sessions, promos, "s_start", "s_end", "p_start", "p_end")
+    return j.select(
+        "user_id",
+        "session_id",
+        "promo_id",
+        (
+            F.least("s_end", "p_end") - F.greatest("s_start", "p_start")
+        ).alias("overlap_s"),
+    )
+
+
 def _q_render_hocr(spark, sf_dir):
     """hOCR with real pixel bounding boxes over the raster word table —
     the reference's hOCR geometry payload (tests/test_e2e.rs:46), fully
@@ -760,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": _q_events_asof,
         "events_sliding": _q_events_sliding,
         "events_top_type": _q_events_top_type,
+        "events_interval_join": _q_events_interval_join,
         "render_hocr": _q_render_hocr,
     }
 
@@ -1783,6 +1806,40 @@ def oracle_sql() -> dict[str, str]:
           FROM hourly
         )
         SELECT hour, event_type, n FROM ranked WHERE r = 1
+        """,
+        "events_interval_join": """
+        WITH gaps AS (
+          SELECT CAST(user_id AS BIGINT) AS user_id, ts, event_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR CAST(floor(epoch(ts)) AS BIGINT)
+                         - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        marked AS (
+          SELECT user_id, es,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM gaps
+        ),
+        sessions AS (
+          SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                 MIN(es) AS s_start, MAX(es) AS s_end
+          FROM marked GROUP BY 1, 2
+        ),
+        promos AS (
+          SELECT CAST(range AS BIGINT) AS promo_id,
+                 1704067200 + range * 21600 AS p_start,
+                 1704067200 + range * 21600 + 5400 AS p_end
+          FROM range(120)
+        )
+        SELECT s.user_id, s.session_id, p.promo_id,
+               CAST(least(s.s_end, p.p_end)
+                    - greatest(s.s_start, p.p_start) AS BIGINT) AS overlap_s
+        FROM sessions s JOIN promos p
+          ON s.s_start <= p.p_end AND p.p_start <= s.s_end
         """,
         "render_hocr": _WORDS_CTE
         + f"""

@@ -184,3 +184,89 @@ def extract_props(events: DataFrame) -> DataFrame:
         F.col("event_id").cast("long"),
         F.get_json_object("props", "$.k").cast("long").alias("k"),
     )
+
+
+def user_sessions(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """Session INTERVALS per user: (user_id, session_id, s_start, s_end)
+    in epoch seconds — the interval axis for :func:`interval_join`.
+    Same gap rule as :func:`sessionize`."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    marked = events.withColumn("_es", epoch).withColumn(
+        "_new", F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
+    )
+    sess = marked.withColumn(
+        "_session", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("_session").cast("long").alias("session_id"),
+    ).agg(F.min("_es").alias("s_start"), F.max("_es").alias("s_end"))
+
+
+def promo_windows(
+    spark,
+    n: int = 120,
+    base_s: int = 1704067200,  # 2024-01-01T00:00:00Z
+    spacing_s: int = 21600,
+    length_s: int = 5400,
+) -> DataFrame:
+    """Deterministic promotion windows: (promo_id, p_start, p_end) epoch
+    seconds, ``n`` windows of ``length_s`` every ``spacing_s``."""
+    return spark.range(n).select(
+        F.col("id").alias("promo_id"),
+        (F.lit(base_s) + F.col("id") * spacing_s).alias("p_start"),
+        (F.lit(base_s) + F.col("id") * spacing_s + length_s).alias("p_end"),
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str = "s_start",
+    l_end: str = "s_end",
+    r_start: str = "p_start",
+    r_end: str = "p_end",
+    bucket_s: int = 21600,
+) -> DataFrame:
+    """Overlap (range/interval) join: all (left, right) row pairs whose
+    CLOSED intervals intersect (``l_start <= r_end AND r_start <= l_end``).
+    Column names must be disjoint across the two sides.
+
+    Spark has no native range join — a raw inequality join plans as a
+    BroadcastNestedLoopJoin (quadratic, and impossible when neither side
+    fits in memory).  The scale path buckets the interval axis: each
+    interval explodes into the fixed-width buckets it covers, candidates
+    equi-join on the bucket id (an ordinary shuffled hash join — works at
+    any size on BOTH sides), and the exact predicate verifies.  A
+    qualifying pair is kept only in the bucket containing
+    ``max(l_start, r_start)``, so each pair appears exactly once with NO
+    distinct pass.  Fan-out cost is interval_length/bucket_s extra rows
+    per interval — pick ``bucket_s`` near the median interval length.
+    (DuckDB's native IEJoin range join is the oracle.)"""
+    lb = left.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(l_start) / bucket_s), F.floor(F.col(l_end) / bucket_s)
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(r_start) / bucket_s), F.floor(F.col(r_end) / bucket_s)
+            )
+        ),
+    )
+    qualified = lb.join(rb, "_b").filter(
+        (F.col(l_start) <= F.col(r_end))
+        & (F.col(r_start) <= F.col(l_end))
+        & (
+            F.col("_b")
+            == F.floor(F.greatest(F.col(l_start), F.col(r_start)) / bucket_s)
+        )
+    )
+    return qualified.drop("_b")

@@ -378,3 +378,47 @@ def test_kmv_estimation_branch(spark):
     )  # 5000 distinct tokens
     row = kmv_sketch(big).collect()[0]
     assert abs(row["estimate"] - 5000) / 5000 < 0.2, row["estimate"]
+
+
+def test_interval_join_exact_and_scale_safe(spark):
+    """Bucketed interval join == brute-force overlap join, each pair
+    emitted exactly once (no distinct pass), and the plan contains no
+    BroadcastNestedLoopJoin (the quadratic shape Spark picks for raw
+    inequality joins)."""
+    import pandas as pd
+
+    from tesseract_rs_spark.functions.events import interval_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "l_id": [1, 2, 3, 4],
+                # interval 1 spans 3 buckets at bucket_s=10; 4 is a point
+                "s_start": [5, 12, 30, 47],
+                "s_end": [25, 14, 31, 47],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "r_id": [10, 20, 30],
+                "p_start": [0, 13, 46],
+                "p_end": [9, 40, 60],
+            }
+        )
+    )
+    j = interval_join(left, right, "s_start", "s_end", "p_start", "p_end",
+                      bucket_s=10)
+    got = sorted((r["l_id"], r["r_id"]) for r in j.collect())
+    lp = left.toPandas()
+    rp = right.toPandas()
+    want = sorted(
+        (int(l.l_id), int(r.r_id))
+        for l in lp.itertuples()
+        for r in rp.itertuples()
+        if l.s_start <= r.p_end and r.p_start <= l.s_end
+    )
+    assert got == want and len(got) == len(set(got))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
