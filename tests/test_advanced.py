@@ -286,3 +286,78 @@ class TestStatefulStreaming:
             for uid, r in final.iterrows()
         }
         assert got == batch
+
+
+class TestWatermarkLateData:
+    """withWatermark bounded-lateness semantics (SURVEY §2.7 streaming):
+    a late row INSIDE the lateness bound is counted; a row older than the
+    watermark is dropped; finalized windows emit exactly once."""
+
+    def test_watermark_drops_too_late_rows(self, spark, tmp_path):
+        import pandas as pd
+
+        from tesseract_rs_spark.streaming.windowed import windowed_counts_stream
+
+        def write(sub, rows):
+            pdf = pd.DataFrame(
+                rows, columns=["event_id", "ts", "event_type"]
+            )
+            pdf["ts"] = pd.to_datetime(pdf["ts"])
+            spark.createDataFrame(pdf).coalesce(1).write.parquet(
+                str(tmp_path / "in" / sub)
+            )
+
+        import time
+
+        t = "2026-01-01 "
+        # batch 0: hours 00 (x2), 01, and a clock event at 05:30 that
+        # advances the watermark to 03:30 (lateness = 2 hours)
+        write("f=0", [
+            (1, t + "00:05:00", "click"),
+            (2, t + "00:20:00", "click"),
+            (3, t + "01:10:00", "view"),
+            (4, t + "05:30:00", "click"),
+        ])
+        time.sleep(1.1)  # file mtime defines micro-batch order
+        # batch 1: a late-but-allowed row (hour 04 is still open).  Note
+        # Spark filters late rows with the PREVIOUS batch's watermark
+        # (SPARK-40925 watermarkForLateEvents), so the beyond-watermark
+        # probe must arrive one batch after the clock's batch.
+        write("f=1", [
+            (6, t + "04:15:00", "view"),
+        ])
+        time.sleep(1.1)
+        # batch 2: one row BEYOND the watermark (00:40 < 03:30 -> DROPPED,
+        # hour 00 already finalized) and a clock at 08:00 that finalizes
+        # hours 04/05 in the trailing no-data flush batch
+        write("f=2", [
+            (5, t + "00:40:00", "click"),
+            (7, t + "08:00:00", "click"),
+        ])
+        q = (
+            windowed_counts_stream(
+                spark, str(tmp_path / "in") + "/*", lateness="2 hours",
+                max_files_per_trigger=1,
+            )
+            .writeStream.format("memory")
+            .queryName("wm_counts")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["hour"], r["event_type"]): r["n"]
+            for r in spark.sql("SELECT * FROM wm_counts").collect()
+        }
+        # hour 00 finalized with exactly the 2 on-time clicks: the
+        # beyond-watermark row 5 was dropped, not appended as a new row
+        assert got[("2026-01-01 00", "click")] == 2
+        assert got[("2026-01-01 01", "view")] == 1
+        # the within-bound late row WAS counted
+        assert got[("2026-01-01 04", "view")] == 1
+        assert got[("2026-01-01 05", "click")] == 1
+        # hour 08's window never finalized (watermark stopped at 06:00)
+        assert ("2026-01-01 08", "click") not in got
+        assert len(got) == 4
