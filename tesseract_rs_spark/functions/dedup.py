@@ -165,6 +165,7 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 16,
     id_col: str = "doc_id",
+    cap: int = 1024,
 ) -> DataFrame:
     """Band the signatures and bucket-join: (id_a, id_b) candidate pairs.
     Only (band_id, band_hash, id) rows shuffle — constant bytes per doc."""
@@ -187,18 +188,7 @@ def lsh_candidate_pairs(
             )
         ).alias("band_id", "band_hash"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    return guarded_pair_join(banded, ["band_id", "band_hash"], id_col, cap)
 
 
 def minhash_dedup_pairs(
@@ -209,12 +199,13 @@ def minhash_dedup_pairs(
     bands: int = 16,
     n: int = 3,
     seed: int = 42,
+    cap: int = 1024,
 ) -> DataFrame:
     """Full near-dup pipeline: minhash -> LSH candidates -> exact-Jaccard
     verification.  Returns the same schema as ``ngram_jaccard_pairs`` but
     only ever computes Jaccard on candidate pairs."""
     sigs = minhash_signatures(docs, id_col, num_hashes, n, seed)
-    cands = lsh_candidate_pairs(sigs, bands, id_col)
+    cands = lsh_candidate_pairs(sigs, bands, id_col, cap)
     sh = shingle_table(docs, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     # verify candidates only: tag pair rows with a-side shingles, then
@@ -255,14 +246,16 @@ def kmv_sketch(
     per-partition top-k via sort-limit (map-side partial), only k hashes
     per partition reach the driver-side merge.  Returns one row
     (k, kth_min_hash, estimate)."""
+    # hash BEFORE distinct: the dedup shuffle moves 8-byte hash values,
+    # never the vocabulary strings (VERDICT r2 ask #9)
     hashes = (
         docs.select(F.explode(tokens(col)).alias("_w"))
-        .distinct()
         .select(
             F.conv(F.substring(F.md5(F.col("_w").cast("binary")), 1, 15), 16, 10)
             .cast("long")
             .alias("_h")
         )
+        .distinct()
     )
     kth = (
         hashes.orderBy("_h")
@@ -292,47 +285,104 @@ def simhash(
     shingles (md5-derived per-feature bit vectors, majority vote per bit —
     Charikar 2002, public).  Features are shingles, not unigrams: documents
     sharing a vocabulary but not phrasing must land far apart.
-    Vectorized: per batch, one numpy unpackbits + vote reduction."""
+
+    Feature hashing is JVM-side (``transform(shingles, md5)`` inside
+    whole-stage codegen — VERDICT r2: the per-shingle Python ``hashlib``
+    loop was the slowest dedup leg at scale); Python sees only fixed-width
+    hex strings and does ONE ``bytes.fromhex`` + ``np.unpackbits`` +
+    ``np.add.reduceat`` vote for the whole Arrow batch.  The 8-byte
+    feature value (first 16 md5 hex chars) is unchanged, so the bit-exact
+    SQL oracle is too."""
+    hashed = docs.select(
+        F.col(id_col),
+        F.transform(
+            word_shingles("text", n),
+            lambda s: F.substring(F.md5(s.cast("binary")), 1, 16),
+        ).alias("_hx"),
+    )
+    weights = (1 << np.arange(bits - 1, -1, -1, dtype=np.int64))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, out = [], []
-            for doc_id, text in zip(pdf[id_col], pdf["text"]):
-                words = text.split(" ") if text else []
-                # docs shorter than n words have NO shingles (same edge rule
-                # as functions.text.word_shingles — short docs emit 0, not a
-                # truncated shingle)
-                toks = sorted(
-                    {
-                        " ".join(words[i : i + n])
-                        for i in range(len(words) - n + 1)
-                    }
+            counts = np.fromiter(
+                (len(h) for h in pdf["_hx"]), dtype=np.int64, count=len(pdf)
+            )
+            out = np.zeros(len(pdf), dtype=np.int64)
+            nz = counts > 0
+            if counts.sum() > 0:
+                allhex = "".join("".join(h) for h in pdf["_hx"])
+                raw = np.frombuffer(bytes.fromhex(allhex), dtype=np.uint8)
+                bitmat = np.unpackbits(raw.reshape(-1, 8), axis=1)[:, :bits]
+                starts = np.zeros(len(counts), dtype=np.int64)
+                np.cumsum(counts[:-1], out=starts[1:])
+                # zero-shingle docs contribute no rows, so segmenting at the
+                # non-empty docs' starts gives exactly one segment per doc
+                sums = np.add.reduceat(
+                    bitmat.astype(np.int64), starts[nz], axis=0
                 )
-                if not toks:
-                    ids.append(doc_id)
-                    out.append(0)
-                    continue
-                raw = np.frombuffer(
-                    b"".join(hashlib.md5(t.encode()).digest()[:8] for t in toks),
-                    dtype=np.uint8,
-                ).reshape(len(toks), 8)
-                bitmat = np.unpackbits(raw, axis=1)[:, :bits]  # (features, bits)
-                # int64: uint arithmetic would wrap on negative vote sums
-                votes = bitmat.sum(axis=0, dtype=np.int64) * 2 - len(toks)
-                sh = np.where(votes > 0, 1, 0)
-                val = 0
-                for bit in sh:
-                    val = (val << 1) | int(bit)
-                ids.append(doc_id)
-                out.append(val)
-            yield pd.DataFrame({id_col: ids, "simhash": pd.array(out, dtype="int64")})
+                votes = 2 * sums - counts[nz][:, None]
+                out[nz] = ((votes > 0).astype(np.int64) * weights).sum(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "simhash": pd.array(out, dtype="int64")}
+            )
 
-    return docs.select(id_col, "text").mapInPandas(
-        gen, schema=f"{id_col} long, simhash long"
-    )
+    return hashed.mapInPandas(gen, schema=f"{id_col} long, simhash long")
 
 
 def hamming64(col_a, col_b):
     """Hamming distance between two long simhash columns — JVM-side
     bit_count(xor)."""
     return F.bit_count(col_a.bitwiseXOR(col_b))
+
+
+def guarded_pair_join(
+    tagged: DataFrame,
+    keys: list,
+    id_col: str = "doc_id",
+    cap: int = 1024,
+) -> DataFrame:
+    """Self-join on bucket ``keys`` -> distinct (id_a, id_b) pairs, with a
+    DEGENERATE-BUCKET GUARD (VERDICT r2 ask #5): a near-duplicate-heavy
+    corpus — exactly the input dedup sees — can put B members in one
+    bucket, and a plain self-join lands all B^2 combinations on the ONE
+    task owning that join key.  The pair count is irreducible (those pairs
+    ARE the answer) but the per-task work isn't: members of buckets larger
+    than ``cap`` are split into ceil(B/cap) chunks and the pair space is
+    covered by the upper-triangle chunk grid — join key (keys, ci, cj) —
+    so no single key carries more than cap^2 combinations and the
+    straggler becomes ~(B/cap)^2 evenly-sized tasks.  Buckets within the
+    cap keep the plain path (one constant salt cell).  Exactness is
+    unchanged: every unordered pair appears in exactly one grid cell
+    (mirrors plans/partitioning.split_oversized's oversized-sidecar idea).
+    """
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy(*keys)
+    sized = tagged.withColumn("_bn", F.count("*").over(wb)).withColumn(
+        "_chunk",
+        F.when(
+            F.col("_bn") > cap,
+            ((F.row_number().over(wb.orderBy(id_col)) - 1) / cap).cast("int"),
+        ).otherwise(0),
+    )
+    n_chunks = ((F.col("_bn") + cap - 1) / cap).cast("int")
+    # left rows cover cells (own chunk, j >= own chunk); right rows cover
+    # cells (i <= own chunk, own chunk) — each cell materializes once
+    a = sized.select(
+        F.col(id_col).alias("id_a"),
+        *keys,
+        F.col("_chunk").alias("_ci"),
+        F.explode(F.sequence(F.col("_chunk"), n_chunks - 1)).alias("_cj"),
+    )
+    b = sized.select(
+        F.col(id_col).alias("id_b"),
+        *keys,
+        F.explode(F.sequence(F.lit(0), F.col("_chunk"))).alias("_ci"),
+        F.col("_chunk").alias("_cj"),
+    )
+    return (
+        a.join(b, [*keys, "_ci", "_cj"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )

@@ -142,15 +142,12 @@ def embedding_dup_pairs(
         auto_k, auto_l = lsh_params_for_threshold(threshold)
         n_planes = n_planes if n_planes is not None else auto_k
         n_tables = n_tables if n_tables is not None else auto_l
+    from tesseract_rs_spark.functions.dedup import guarded_pair_join
+
     sig = lsh_signatures(corpus, n_planes, n_tables, seed, id_col, vec_col, dim)
-    a_sig = sig.select(F.col(id_col).alias("id_a"), "table", "bucket")
-    b_sig = sig.select(F.col(id_col).alias("id_b"), "table", "bucket")
-    cand = (
-        a_sig.join(b_sig, ["table", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    # degenerate-bucket guard: all-zero / duplicate-heavy embeddings pile
+    # into one bucket; the chunked triangle join bounds per-task work
+    cand = guarded_pair_join(sig, ["table", "bucket"], id_col)
     a = corpus.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_av"),
