@@ -281,51 +281,47 @@ def segment_layout(stats: np.ndarray) -> list:
         return []
     order = np.lexsort((stats[:, 0], stats[:, 1]))
     comps = stats[order]
-    # group into lines: components whose vertical extent overlaps
-    lines: list = []
-    cur: list = []
-    cur_top = None
-    for c in comps:
-        if cur_top is None or c[1] < cur_top + GLYPH_H:  # same text line
-            cur.append(c)
-            cur_top = min(cur_top, int(c[1])) if cur_top is not None else int(c[1])
-        else:
-            lines.append((cur_top, cur))
-            cur, cur_top = [c], int(c[1])
-    if cur:
-        lines.append((cur_top, cur))
-    # paragraphs: line-top gaps larger than LINE_PITCH mean a new para
+    tops_sorted = comps[:, 1]
+    # line grouping: components within GLYPH_H of the line's first (= min,
+    # tops are sorted) top.  One searchsorted per LINE instead of a Python
+    # branch per component; word splits and box rollups are sliced numpy.
     out = []
     para_id, line_id = 0, 0
     prev_top = None
-    for top, comps_in_line in lines:
-        if prev_top is not None:
-            if top - prev_top > LINE_PITCH + PARA_EXTRA // 2:
-                para_id += 1
-                line_id = 0
-        comps_in_line.sort(key=lambda c: int(c[0]))
+    word_gap = (WORD_GAP + 2) // 2
+    start = 0
+    n = len(comps)
+    while start < n:
+        top = int(tops_sorted[start])
+        end = int(np.searchsorted(tops_sorted, top + GLYPH_H, side="left"))
+        # paragraphs: line-top gaps larger than LINE_PITCH mean a new para
+        if prev_top is not None and top - prev_top > LINE_PITCH + PARA_EXTRA // 2:
+            para_id += 1
+            line_id = 0
+        line = comps[start:end]
+        line = line[np.argsort(line[:, 0], kind="stable")]
         # words: split on horizontal ink gaps > the intra-word gap
-        words = []
-        word: list = []
-        prev_right = None
-        for c in comps_in_line:
-            if prev_right is not None and int(c[0]) - prev_right > (WORD_GAP + 2) // 2:
-                words.append(word)
-                word = []
-            word.append(c)
-            prev_right = int(c[2])
-        if word:
-            words.append(word)
+        brk = np.flatnonzero(line[1:, 0] - line[:-1, 2] > word_gap) + 1
+        bounds = np.empty(len(brk) + 2, dtype=np.int64)
+        bounds[0] = 0
+        bounds[1:-1] = brk
+        bounds[-1] = len(line)
         boxes = []
-        for glyphs in words:
-            l = min(int(g[0]) for g in glyphs)
-            t = min(int(g[1]) for g in glyphs)
-            r = max(int(g[2]) for g in glyphs)
-            btm = max(int(g[3]) for g in glyphs)
-            boxes.append((l, t, r, btm, glyphs))
+        for s_, e_ in zip(bounds[:-1], bounds[1:]):
+            glyphs = line[s_:e_]
+            boxes.append(
+                (
+                    int(glyphs[0, 0]),
+                    int(glyphs[:, 1].min()),
+                    int(glyphs[:, 2].max()),
+                    int(glyphs[:, 3].max()),
+                    glyphs,
+                )
+            )
         out.append((para_id, line_id, boxes))
         line_id += 1
         prev_top = top
+        start = end
     return out
 
 
@@ -353,6 +349,15 @@ def fit_baseline(glyphs) -> int:
 _ATLAS_SUMS = _ATLAS_FLAT.sum(axis=1).astype(np.int32)  # ink per template
 LANG_SUMS = {
     lang: flat.sum(axis=1).astype(np.int32) for lang, flat in LANG_ATLASES.items()
+}
+# float32 twins for the decode matmuls: numpy integer GEMM has no BLAS
+# backend (a naive C loop, ~17x slower); float32 products of 0/1 cells
+# against 0/1 templates are exact integers (all values << 2^24), so the
+# distances round-trip to int64 bit-identically.
+_ATLAS_FLAT_F32 = _ATLAS_FLAT.astype(np.float32)
+_ALL_LANG_FLAT_F32 = _ALL_LANG_FLAT.astype(np.float32)
+LANG_ATLASES_F32 = {
+    lang: flat.astype(np.float32) for lang, flat in LANG_ATLASES.items()
 }
 
 
@@ -417,8 +422,8 @@ def _word_glyph_dists(
     cells and the (whitelist-restricted) atlas of ``lang``, as ONE matmul:
     |a XOR c| = |a| + |c| - 2*(a.c) for binary masks."""
     flat = _word_cells(binary, box)
-    templates = LANG_ATLASES[lang][allowed_idx].astype(np.int32)
-    dots = flat @ templates.T
+    templates = LANG_ATLASES_F32[lang][allowed_idx]
+    dots = (flat.astype(np.float32) @ templates.T).astype(np.int64)  # exact
     return LANG_SUMS[lang][allowed_idx][None, :] + flat.sum(axis=1)[:, None] - 2 * dots
 
 
@@ -429,8 +434,8 @@ def _word_glyph_ncc(
     a.c / sqrt(|a| |c|) — the OEM_NCC recognizer (engine-mode switch,
     tessedit_ocr_engine_mode).  Same single matmul; different metric."""
     flat = _word_cells(binary, box)
-    templates = LANG_ATLASES[lang][allowed_idx].astype(np.int32)
-    dots = (flat @ templates.T).astype(np.float64)
+    templates = LANG_ATLASES_F32[lang][allowed_idx]
+    dots = (flat.astype(np.float32) @ templates.T).astype(np.float64)  # exact ints
     norms = np.sqrt(
         np.maximum(1.0, flat.sum(axis=1).astype(np.float64))[:, None]
         * LANG_SUMS[lang][allowed_idx].astype(np.float64)[None, :]
@@ -511,8 +516,8 @@ def _decode_layout(
     big_sums = big.sum(axis=1)
     bests, word_confs = [], []
     for lang in langs:
-        templates = LANG_ATLASES[lang][allowed].astype(np.int32)
-        dots = big @ templates.T
+        templates = LANG_ATLASES_F32[lang][allowed]
+        dots = (big.astype(np.float32) @ templates.T).astype(np.int64)  # exact
         if oem == 1:  # OEM_NCC
             norms = np.sqrt(
                 np.maximum(1.0, big_sums.astype(np.float64))[:, None]
@@ -704,13 +709,18 @@ SCRIPT_LATIN = "Latin"
 _ORIENT_MARGIN = 5.0
 
 
-def _orient_score(binary: np.ndarray, max_glyphs: int = 12) -> float:
+def _orient_score(
+    binary: np.ndarray, max_glyphs: int = 12, row_any: np.ndarray | None = None
+) -> float:
     """Decode-confidence score of the FIRST text-line strip: label the
     strip's components and take the mean best-template confidence over up
     to ``max_glyphs`` glyphs.  This is the classifier-confidence vote the
     reference's OSD runs per candidate orientation (api.rs:599-629):
-    upright text matches the atlas near-exactly; rotated text does not."""
-    row_any = binary.any(axis=1)
+    upright text matches the atlas near-exactly; rotated text does not.
+    ``row_any`` (has-ink per row) may be precomputed by the caller from an
+    existing projection profile to skip a full-page pass."""
+    if row_any is None:
+        row_any = binary.any(axis=1)
     if not row_any.any():
         return 0.0
     top = int(np.argmax(row_any))
@@ -724,13 +734,13 @@ def _orient_score(binary: np.ndarray, max_glyphs: int = 12) -> float:
     for i, (l, t, r, b, _area) in enumerate(stats):
         patch = strip[t : t + GLYPH_H, l : l + GLYPH_W]
         cells[i, : patch.shape[0], : patch.shape[1]] = patch
-    flat = cells.reshape(len(stats), -1).astype(np.int32)
+    flat = cells.reshape(len(stats), -1).astype(np.float32)
     # ONE matmul against EVERY embedded language model (mixed-language
     # pages must score as upright as monolingual ones)
     dists = (
         _ALL_LANG_FLAT_SUMS[None, :]
-        + flat.sum(axis=1)[:, None]
-        - 2 * (flat @ _ALL_LANG_FLAT.T)
+        + flat.sum(axis=1).astype(np.int64)[:, None]
+        - 2 * (flat @ _ALL_LANG_FLAT_F32.T).astype(np.int64)  # exact
     )
     confs = 100.0 * (1.0 - dists.min(axis=1) / cell_size)
     return float(confs.mean())
@@ -750,13 +760,19 @@ def detect_os(binary: np.ndarray) -> tuple:
     rows = binary.sum(axis=1).astype(np.float64)
     cols = binary.sum(axis=0).astype(np.float64)
     sideways = cols.var() > 2.0 * rows.var()
+    # the candidates' row profiles are reversals of profiles already
+    # computed: rot90 k=-1 has row profile = cols, k=+1 reversed cols,
+    # k=2 reversed rows — no further full-page passes
     if sideways:
-        cand = ((90, np.rot90(binary, k=-1)), (270, np.rot90(binary, k=1)))
+        cand = (
+            (90, np.rot90(binary, k=-1), cols > 0),
+            (270, np.rot90(binary, k=1), cols[::-1] > 0),
+        )
     else:
-        cand = ((0, binary), (180, np.rot90(binary, k=2)))
-    (deg_a, bin_a), (deg_b, bin_b) = cand
-    score_a = _orient_score(bin_a)
-    score_b = _orient_score(bin_b)
+        cand = ((0, binary, rows > 0), (180, np.rot90(binary, k=2), rows[::-1] > 0))
+    (deg_a, bin_a, any_a), (deg_b, bin_b, any_b) = cand
+    score_a = _orient_score(bin_a, row_any=any_a)
+    score_b = _orient_score(bin_b, row_any=any_b)
     if score_b > score_a + _ORIENT_MARGIN:
         deg, score, other = deg_b, score_b, score_a
     else:
@@ -829,7 +845,7 @@ def raster_symbol_attrs(payload, whitelist: str | None = None):
     allowed = _allowed_indices(wl)
     if len(allowed) == 0:
         return status, []
-    templates = _ATLAS_FLAT[allowed].astype(np.int32)
+    templates = _ATLAS_FLAT_F32[allowed]
     sums = _ATLAS_SUMS[allowed]
     margin = SCRIPT_OFFSET // 2 + 1
     rows = []
@@ -841,7 +857,11 @@ def raster_symbol_attrs(payload, whitelist: str | None = None):
         for word_id, box in enumerate(boxes):
             glyphs = sorted(box[4], key=lambda g: int(g[0]))
             flat = _glyph_cells_from_stats(binary, glyphs)
-            dists = sums[None, :] + flat.sum(axis=1)[:, None] - 2 * (flat @ templates.T)
+            dists = (
+                sums[None, :]
+                + flat.sum(axis=1)[:, None]
+                - 2 * (flat.astype(np.float32) @ templates.T).astype(np.int64)
+            )
             best = dists.argmin(axis=1)
             for sid, (g, j) in enumerate(zip(glyphs, best)):
                 bottom = int(g[3])
