@@ -179,6 +179,29 @@ def main() -> None:
     raster_sec, n_raster = raster_samples[1]
     results["ocr_text"] = round(raster_sec, 3)
     raster_pages_per_sec = round(n_raster / raster_sec, 1)
+
+    # dedup leg (VERDICT r2 ask #4): SimHash signatures over the full page
+    # corpus text — JVM shingle-md5 + one numpy vote per Arrow batch
+    from tesseract_rs_spark.functions.dedup import simhash
+
+    def timed_simhash():
+        t0 = time.time()
+        n = (
+            simhash(
+                spark.read.parquet(path).select(
+                    F.xxhash64("url").alias("doc_id"), "text"
+                )
+            )
+            .agg(F.count("*"))
+            .collect()[0][0]
+        )
+        return time.time() - t0, n
+
+    timed_simhash()
+    sim_samples = sorted(timed_simhash() for _ in range(3))
+    sim_sec, n_sim = sim_samples[1]
+    results["simhash"] = round(sim_sec, 3)
+    simhash_docs_per_sec = round(n_sim / sim_sec, 1)
     spark.stop()
 
     scaling = None
@@ -217,6 +240,7 @@ def main() -> None:
         "words_rows": int(n_words),
         "raster_pages": int(n_raster),
         "raster_pages_per_sec": raster_pages_per_sec,
+        "simhash_docs_per_sec": simhash_docs_per_sec,
         "scaling": scaling,
     }
     print(json.dumps(out))

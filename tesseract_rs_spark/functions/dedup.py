@@ -288,30 +288,33 @@ def simhash(
 
     Feature hashing is JVM-side (``transform(shingles, md5)`` inside
     whole-stage codegen — VERDICT r2: the per-shingle Python ``hashlib``
-    loop was the slowest dedup leg at scale); Python sees only fixed-width
-    hex strings and does ONE ``bytes.fromhex`` + ``np.unpackbits`` +
-    ``np.add.reduceat`` vote for the whole Arrow batch.  The 8-byte
-    feature value (first 16 md5 hex chars) is unchanged, so the bit-exact
-    SQL oracle is too."""
+    loop was the slowest dedup leg at scale), and the per-doc hex digests
+    ``array_join`` into ONE string before crossing Arrow (an array of
+    16-char strings per doc made the Python side slower than the hashlib
+    loop it replaced).  Python does one ``bytes.fromhex`` +
+    ``np.unpackbits`` + ``np.add.reduceat`` vote for the whole batch.
+    The 8-byte feature value (first 16 md5 hex chars) is unchanged, so
+    the bit-exact SQL oracle is too."""
     hashed = docs.select(
         F.col(id_col),
-        F.transform(
-            word_shingles("text", n),
-            lambda s: F.substring(F.md5(s.cast("binary")), 1, 16),
+        F.array_join(
+            F.transform(
+                word_shingles("text", n),
+                lambda s: F.substring(F.md5(s.cast("binary")), 1, 16),
+            ),
+            "",
         ).alias("_hx"),
     )
     weights = (1 << np.arange(bits - 1, -1, -1, dtype=np.int64))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            counts = np.fromiter(
-                (len(h) for h in pdf["_hx"]), dtype=np.int64, count=len(pdf)
-            )
+            hx = pdf["_hx"]
+            counts = (hx.str.len() // 16).to_numpy(dtype=np.int64)
             out = np.zeros(len(pdf), dtype=np.int64)
             nz = counts > 0
             if counts.sum() > 0:
-                allhex = "".join("".join(h) for h in pdf["_hx"])
-                raw = np.frombuffer(bytes.fromhex(allhex), dtype=np.uint8)
+                raw = np.frombuffer(bytes.fromhex("".join(hx)), dtype=np.uint8)
                 bitmat = np.unpackbits(raw.reshape(-1, 8), axis=1)[:, :bits]
                 starts = np.zeros(len(counts), dtype=np.int64)
                 np.cumsum(counts[:-1], out=starts[1:])

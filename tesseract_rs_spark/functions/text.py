@@ -132,20 +132,32 @@ def word_in_dictionary(
     return words.join(flagged, col, "left").fillna(False, ["in_dictionary"])
 
 
+def _ngram_array(t: Column, n: int) -> Column:
+    """ALL word n-grams of a token array, positional order, via n-1
+    ``zip_with`` passes over CONTIGUOUS slices.  The per-position
+    ``slice(t, i+1, n)`` + ``array_join`` construction (round 2) allocated
+    an array per word and dominated every shingle pipeline (~0.3 ms/doc —
+    slower than the Python hashing it fed); contiguous slices + linear
+    zip_with string concats are ~10x cheaper and value-identical."""
+    cnt = F.size(t) - (n - 1)
+    acc = F.slice(t, 1, cnt)
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(t, k + 1, cnt),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return acc
+
+
 def word_shingles(col: str = "text", n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array column (JVM-side
-    ``transform``/``slice`` — no UDF).  Documents with fewer than ``n``
+    ``zip_with``/``slice`` — no UDF).  Documents with fewer than ``n``
     words have NO shingles (empty array), matching the SQL self-join
     formulation the oracles use — a short doc must not emit a short
     shingle."""
     t = tokens(col)
-    full = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
-            lambda i: F.array_join(F.slice(t, i + 1, n), " "),
-        )
-    )
-    return F.when(F.size(t) >= n, full).otherwise(
+    return F.when(F.size(t) >= n, F.array_distinct(_ngram_array(t, n))).otherwise(
         F.array().cast("array<string>")
     )
 
@@ -154,11 +166,9 @@ def word_ngrams_all(col: str = "text", n: int = 2) -> Column:
     """ALL word n-grams (with repeats — unlike :func:`word_shingles`),
     empty for docs shorter than ``n`` words."""
     t = tokens(col)
-    full = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+    return F.when(F.size(t) >= n, _ngram_array(t, n)).otherwise(
+        F.array().cast("array<string>")
     )
-    return F.when(F.size(t) >= n, full).otherwise(F.array().cast("array<string>"))
 
 
 def repetition_signals(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
