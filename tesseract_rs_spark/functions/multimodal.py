@@ -309,6 +309,48 @@ def media_header(payload) -> tuple:
     return 0, 0, 0, "unsupported_codec"
 
 
+def video_stats(
+    media: DataFrame, id_col: str = "media_id", col: str = "payload", frame: int = 0
+) -> DataFrame:
+    """REAL video feature extraction: VSEQ header parse + real decode of
+    frame ``frame`` -> (id, status, n_frames, width, height, n_ink_px).
+    Ink mass is the same closed-form glyph arithmetic as image_stats, so
+    the whole row is SQL-oracle-able."""
+    from tesseract_rs_spark.kernels.raster import INK
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[col]):
+                buf = bytes(payload) if payload is not None else b""
+                if buf[:4] != b"VSEQ" or len(buf) < 8:
+                    rows.append((mid, "unsupported_codec", 0, 0, 0, 0))
+                    continue
+                (n,) = struct.unpack_from("<I", buf, 4)
+                img, st = decode_frame(buf, frame)
+                if img is None:
+                    rows.append((mid, st, n, 0, 0, 0))
+                    continue
+                rows.append(
+                    (
+                        mid,
+                        "ok",
+                        n,
+                        img.shape[1],
+                        img.shape[0],
+                        int((img == INK).sum()),
+                    )
+                )
+            cols = [id_col, "status", "n_frames", "width", "height", "n_ink_px"]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, col).mapInPandas(
+        gen,
+        schema=f"{id_col} long, status string, n_frames long, width long, "
+        "height long, n_ink_px long",
+    )
+
+
 def decode_media(media: DataFrame) -> DataFrame:
     """Parse payload headers -> (media_id, kind, width, height, n_frames,
     status).  STUB: only the synthetic MEDI container is implemented; a
