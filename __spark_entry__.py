@@ -297,6 +297,48 @@ def _q_ocr_choices(spark, sf_dir):
     )
 
 
+def _q_ocr_thresholded(spark, sf_dir):
+    """get_thresholded_image surface (/root/reference/src/api.rs:445-456,
+    scale factor api.rs:825-831): per page (threshold, scale, dims,
+    popcount of the packed binarized bits).  On a clean bilevel render the
+    Otsu argmax is the ink value itself (first maximum of a flat
+    between-class-variance plateau), dims follow the shared geometry, and
+    the bit popcount equals the closed-form glyph ink mass."""
+    import numpy as np
+    import pandas as pd
+
+    from tesseract_rs_spark.operators.ocr import ocr_thresholded
+
+    pages = raster_pages_from_documents(_docs(spark, sf_dir), WPL, LPP)
+    th = ocr_thresholded(pages, id_cols=("doc_id",))
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_ink = [
+                int(np.unpackbits(np.frombuffer(b, dtype=np.uint8)).sum())
+                for b in pdf["bits"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "status": pdf["status"],
+                    "threshold": pdf["threshold"],
+                    "scale_factor": pdf["scale_factor"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "n_ink_px": pd.array(n_ink, dtype="int64"),
+                }
+            )
+
+    return th.mapInPandas(
+        gen,
+        "doc_id long, status string, threshold long, scale_factor long, "
+        "width long, height long, n_ink_px long",
+    )
+
+
 def _q_ocr_layout(spark, sf_dir):
     pages = raster_pages_from_documents(_docs(spark, sf_dir), WPL, LPP)
     return ocr_layout(pages, id_cols=("doc_id",))
@@ -687,6 +729,76 @@ def _q_media_frame_sample(spark, sf_dir):
     )
 
 
+def _q_media_decode(spark, sf_dir):
+    """decode_media dispatch end-to-end over a MIXED payload table: per
+    doc_id % 5 the payload is a MEDI container (header metadata), a real
+    PGM image, a real PCM WAV, a real VSEQ video, or junk bytes — each
+    branch's (width, height, n_frames, status) is closed-form."""
+    import numpy as np
+    import pandas as pd
+
+    from tesseract_rs_spark.functions.multimodal import (
+        MEDIA_MAGIC,
+        decode_media,
+        pgm_encode,
+        video_encode,
+        wav_encode,
+    )
+    from tesseract_rs_spark.kernels.raster import decode_page, render_page
+
+    import struct as _struct
+
+    docs = _docs(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, kinds, payloads = [], [], []
+            for did, t in zip(pdf["doc_id"].astype("int64"), pdf["text"]):
+                did = int(did)
+                case = did % 5
+                if case == 0:
+                    w, h, fr = 16 + did % 200, 16 + did % 100, 1 + did % 30
+                    kinds.append("container")
+                    payloads.append(
+                        MEDIA_MAGIC + _struct.pack("<iiiii", w, h, 8000, 1000, fr)
+                    )
+                elif case == 1:
+                    kinds.append("image")
+                    payloads.append(
+                        pgm_encode(decode_page(render_page(t, WPL, LPP))[0])
+                    )
+                elif case == 2:
+                    n = 100 + did % 50
+                    s = (did * 31 + 17 * np.arange(n, dtype=np.int64)) % 2003 - 1001
+                    kinds.append("audio")
+                    payloads.append(wav_encode(s.astype(np.int16), 16000))
+                elif case == 3:
+                    img = decode_page(render_page(t, WPL, LPP))[0]
+                    kinds.append("video")
+                    payloads.append(video_encode([img] * (1 + did % 3)))
+                else:
+                    kinds.append("image")
+                    payloads.append(b"JUNK" + did.to_bytes(4, "big"))
+                ids.append(did)
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "payload": payloads}
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        gen, "media_id long, kind string, payload binary"
+    )
+    return decode_media(media).select(
+        F.col("media_id").alias("doc_id"),
+        "kind",
+        "width",
+        "height",
+        "n_frames",
+        "status",
+    )
+
+
 def _q_events_tumbling(spark, sf_dir):
     return tumbling_counts(_events(spark, sf_dir))
 
@@ -799,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_metrics": _q_ocr_metrics,
         "ocr_symbols": _q_ocr_symbols,
         "ocr_choices": _q_ocr_choices,
+        "ocr_thresholded": _q_ocr_thresholded,
         "ocr_layout": _q_ocr_layout,
         "ocr_osd": _q_ocr_osd,
         "ocr_multilang": _q_ocr_multilang,
@@ -829,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_stats": _q_media_audio_stats,
         "media_video_stats": _q_media_video_stats,
         "media_frame_sample": _q_media_frame_sample,
+        "media_decode": _q_media_decode,
         "events_tumbling": _q_events_tumbling,
         "events_sessionize": _q_events_sessionize,
         "events_props": _q_events_props,
@@ -1246,6 +1360,37 @@ def oracle_sql() -> dict[str, str]:
                a.alt_glyph,
                CAST(a.alt_conf AS DOUBLE) AS alt_conf
         FROM chars c JOIN alt a ON c.glyph = a.glyph
+        """,
+        "ocr_thresholded": _WORDS_CTE
+        + f"""
+        , lines AS (
+          SELECT doc_id, (wid - 1) // {WPL} AS li,
+                 SUM(18 * length(w) + 12) - 14 AS lw
+          FROM words GROUP BY doc_id, li
+        ),
+        dims AS (
+          SELECT doc_id,
+                 CAST(32 + MAX(lw) AS BIGINT) AS width,
+                 CAST(32 + (MAX(li) + 1) * 36 - 12
+                      + (CEIL((MAX(li) + 1) / {LPP}.0) - 1) * 24 AS BIGINT)
+                   AS height
+          FROM lines GROUP BY doc_id
+        ),
+        chars AS (
+          SELECT doc_id, unnest(string_split(w, '')) AS ch FROM words
+        ),
+        ink AS (
+          SELECT doc_id,
+                 CAST(SUM(48 + 56 * CAST(bit_count(
+                      strpos('abcdefghijklmnopqrstuvwxyz0123456789.,!?', ch))
+                      AS BIGINT)) AS BIGINT) AS n_ink_px
+          FROM chars GROUP BY doc_id
+        )
+        SELECT d.doc_id, 'ok' AS status,
+               CAST(40 AS BIGINT) AS threshold,
+               CAST(1 AS BIGINT) AS scale_factor,
+               d.width, d.height, i.n_ink_px
+        FROM dims d JOIN ink i USING (doc_id)
         """,
         "ocr_layout": _WORDS_CTE
         + f"""
@@ -1791,6 +1936,44 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, n - 1 FROM v
         )
         SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx FROM idx
+        """,
+        "media_decode": _WORDS_CTE
+        + f"""
+        , lines AS (
+          SELECT doc_id, (wid - 1) // {WPL} AS li,
+                 SUM(18 * length(w) + 12) - 14 AS lw
+          FROM words GROUP BY doc_id, li
+        ),
+        dims AS (
+          SELECT doc_id,
+                 CAST(32 + MAX(lw) AS BIGINT) AS width,
+                 CAST(32 + (MAX(li) + 1) * 36 - 12
+                      + (CEIL((MAX(li) + 1) / {LPP}.0) - 1) * 24 AS BIGINT)
+                   AS height
+          FROM lines GROUP BY doc_id
+        ),
+        base AS (
+          SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                 CAST(d.doc_id AS BIGINT) % 5 AS c,
+                 m.width AS iw, m.height AS ih
+          FROM documents d JOIN dims m ON m.doc_id = CAST(d.doc_id AS BIGINT)
+        )
+        SELECT doc_id,
+               CASE c WHEN 0 THEN 'container' WHEN 2 THEN 'audio'
+                      WHEN 3 THEN 'video' ELSE 'image' END AS kind,
+               CAST(CASE c WHEN 0 THEN 16 + doc_id % 200
+                           WHEN 1 THEN iw WHEN 3 THEN iw
+                           ELSE 0 END AS BIGINT) AS width,
+               CAST(CASE c WHEN 0 THEN 16 + doc_id % 100
+                           WHEN 1 THEN ih WHEN 3 THEN ih
+                           ELSE 0 END AS BIGINT) AS height,
+               CAST(CASE c WHEN 0 THEN 1 + doc_id % 30
+                           WHEN 1 THEN 1
+                           WHEN 2 THEN 100 + doc_id % 50
+                           WHEN 3 THEN 1 + doc_id % 3
+                           ELSE 0 END AS BIGINT) AS n_frames,
+               CASE WHEN c = 4 THEN 'unsupported_codec' ELSE 'ok' END AS status
+        FROM base
         """,
         "events_tumbling": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
