@@ -186,6 +186,30 @@ def _q_extract_text_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_failure_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule failure-span metrics end-to-end: the source-offset spans
+    of dropped (boilerplate) regions per page.  On variant-0 pages the 14
+    dropped worded blocks are the template's boilerplate (title, header,
+    nav items, cookie banner, sidebar ads, footer), so every span is
+    template arithmetic: head spans are linear in len(str(doc_id)) (the
+    title and comment each embed it), tail spans are fixed offsets into
+    _TAIL shifted by the head+content prefix.  The oracle derives the
+    constants from the template strings via find-anchors — independent of
+    the extraction kernel."""
+    pages = pages_from_documents(
+        _docs(spark, sf_dir), para_words=PARA_WORDS, variant=0
+    )
+    res = extract_text(pages, id_cols=("doc_id",), spans=True)
+    return res.select(
+        "doc_id", F.posexplode("failure_spans").alias("span_id", "_s")
+    ).select(
+        "doc_id",
+        F.col("span_id").cast("long").alias("span_id"),
+        F.col("_s.start").alias("span_start"),
+        F.col("_s.end").alias("span_end"),
+    )
+
+
 def _q_render_unlv(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages_from_documents(_docs(spark, sf_dir), para_words=PARA_WORDS)
     words = extract_words(pages, id_cols=("doc_id",))
@@ -899,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_status_counts": _q_extract_status_counts,
         "extract_mean_conf": _q_extract_mean_conf,
         "extract_text_whitelist": _q_extract_text_whitelist,
+        "extract_failure_spans": _q_extract_failure_spans,
         "render_unlv": _q_render_unlv,
         "render_tsv": _q_render_tsv,
         "render_tsv_spans": _q_render_tsv_spans,
@@ -999,6 +1024,52 @@ def _choices_values_sql(k: int = 3) -> str:
     return ",\n".join(rows)
 
 
+def _failure_span_values_sql() -> str:
+    """VALUES literal (span_id, kind, a_s, b_s, a_e, b_e) for the 14
+    boilerplate spans of a variant-0 page, derived from the template
+    strings themselves (str.find anchors on _HEAD/_TAIL — NOT from the
+    extraction kernel).  kind 0 (head): span = a + b * len(str(doc_id));
+    kind 1 (tail): span = prefix + a where prefix = head len + variant
+    wrapper + body length (computed in SQL)."""
+    from tesseract_rs_spark.corpus import _HEAD, _TAIL
+
+    head_anchors = [
+        ("Example Site page ", "</title>"),
+        ("Example Site</a>", "</h1>"),
+        ("Search</button>", "</form>"),
+        ("Home</a>", "</li>"),
+        ("News</a>", "</li>"),
+        ("Archive</a>", "</li>"),
+        ("About</a>", "</li>"),
+        ("Contact</a>", "</li>"),
+        ("We use cookies", "</div>"),
+    ]
+    tail_anchors = [
+        ("Sponsored", "</h3>"),
+        ("Buy now great deals today</a>", "</li>"),
+        ("Subscribe to our newsletter now</a>", "</li>"),
+        ("Hot singles in your area</a>", "</li>"),
+        ("&copy;", "</p>"),
+    ]
+
+    def spans(doc, anchors):
+        out = []
+        for s_a, e_a in anchors:
+            s = doc.find(s_a)
+            out.append((s, doc.find(e_a, s)))
+        return out
+
+    h1 = spans(_HEAD.format(lang="en", doc_id=0), head_anchors)
+    h2 = spans(_HEAD.format(lang="en", doc_id=10), head_anchors)
+    rows = []
+    for i, ((s1, e1), (s2, e2)) in enumerate(zip(h1, h2)):
+        bs, be = s2 - s1, e2 - e1
+        rows.append(f"({i}, 0, {s1 - bs}, {bs}, {e1 - be}, {be})")
+    for j, (s, t) in enumerate(spans(_TAIL, tail_anchors)):
+        rows.append(f"({len(h1) + j}, 1, {s}, 0, {t}, 0)")
+    return ",\n".join(rows)
+
+
 def oracle_sql() -> dict[str, str]:
     nl = "chr(10)"
     para_sep = f"{nl} || {nl}"
@@ -1074,6 +1145,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                string_agg(para, {para_sep} ORDER BY pid) || {nl} AS text
         FROM paras GROUP BY doc_id
+        """,
+        "extract_failure_spans": _WORDS_CTE
+        + f"""
+        , paras AS (
+          SELECT doc_id, CAST((wid - 1) // {PARA_WORDS} AS BIGINT) AS pid,
+                 string_agg(w, ' ' ORDER BY wid) AS para
+          FROM words GROUP BY doc_id, pid
+        ),
+        geom AS (
+          SELECT doc_id,
+                 CAST(SUM(length(para) + 8) - 1 AS BIGINT) AS body_len
+          FROM paras GROUP BY doc_id
+        ),
+        base AS (
+          SELECT g.doc_id,
+                 length(CAST(g.doc_id AS VARCHAR)) AS dd,
+                 {head_template_len()} + 2
+                   + 2 * length(CAST(g.doc_id AS VARCHAR))
+                   + {VARIANT_PREFIX_LEN[0]} + g.body_len + 19 + 1 AS prefix
+          FROM geom g
+        ),
+        sp(span_id, kind, a_s, b_s, a_e, b_e) AS (
+          VALUES {_failure_span_values_sql()}
+        )
+        SELECT b.doc_id,
+               CAST(sp.span_id AS BIGINT) AS span_id,
+               CAST(CASE sp.kind WHEN 0 THEN sp.a_s + sp.b_s * b.dd
+                    ELSE b.prefix + sp.a_s END AS BIGINT) AS span_start,
+               CAST(CASE sp.kind WHEN 0 THEN sp.a_e + sp.b_e * b.dd
+                    ELSE b.prefix + sp.a_e END AS BIGINT) AS span_end
+        FROM base b CROSS JOIN sp
         """,
         "render_unlv": _WORDS_CTE
         + f"""
