@@ -142,13 +142,15 @@ def main() -> None:
         spark.read.parquet(path).agg(F.sum(F.length("html"))).collect()[0][0]
     )
 
-    sec, docs, chars, _ = median_extract(spark, path)
-    results["extract_text"] = round(sec, 3)
-    docs_per_sec = docs / sec
-    mb_per_sec = total_bytes / sec / 1e6
+    from tesseract_rs_spark.functions.dedup import simhash
+    from tesseract_rs_spark.operators.ocr import ocr_text
 
-    # median-of-3 with a warm-up, same as extract_text — the sandbox's
-    # 2.5x run-to-run noise makes any single sample untrustworthy
+    raster_path = ensure_raster_corpus(spark)
+    raster_pages = spark.read.parquet(raster_path)
+
+    def timed_text():
+        return timed_extract(spark, path)  # (sec, docs, chars, errors)
+
     def timed_words():
         t0 = time.time()
         n = (
@@ -158,33 +160,14 @@ def main() -> None:
         )
         return time.time() - t0, n
 
-    timed_words()
-    word_samples = sorted(timed_words() for _ in range(3))
-    words_sec, n_words = word_samples[1]
-    results["extract_words"] = round(words_sec, 3)
-
-    # raster-OCR path (secondary): median-of-3 over the cached PAGE corpus
-    from tesseract_rs_spark.operators.ocr import ocr_text
-
-    raster_path = ensure_raster_corpus(spark)
-    raster_pages = spark.read.parquet(raster_path)
-
     def timed_raster():
         t0 = time.time()
         n = ocr_text(raster_pages).agg(F.count("*")).collect()[0][0]
         return time.time() - t0, n
 
-    timed_raster()
-    raster_samples = sorted(timed_raster() for _ in range(3))
-    raster_sec, n_raster = raster_samples[1]
-    results["ocr_text"] = round(raster_sec, 3)
-    raster_pages_per_sec = round(n_raster / raster_sec, 1)
-
-    # dedup leg (VERDICT r2 ask #4): SimHash signatures over the full page
-    # corpus text — JVM shingle-md5 + one numpy vote per Arrow batch
-    from tesseract_rs_spark.functions.dedup import simhash
-
     def timed_simhash():
+        # dedup leg (VERDICT r2 ask #4): SimHash signatures over the full
+        # page corpus text — JVM shingle-md5 + one numpy vote per batch
         t0 = time.time()
         n = (
             simhash(
@@ -197,9 +180,33 @@ def main() -> None:
         )
         return time.time() - t0, n
 
-    timed_simhash()
-    sim_samples = sorted(timed_simhash() for _ in range(3))
-    sim_sec, n_sim = sim_samples[1]
+    # Warm each leg once, then INTERLEAVE the measured rounds: sandbox
+    # co-tenant load spikes last minutes, so three back-to-back samples of
+    # one leg can all land inside a spike — round-robin spreads each leg's
+    # samples across the run and the per-leg median discards the spiked one.
+    legs = {
+        "extract_text": timed_text,
+        "extract_words": timed_words,
+        "ocr_text": timed_raster,
+        "simhash": timed_simhash,
+    }
+    samples: dict = {k: [] for k in legs}
+    for fn in legs.values():
+        fn()  # warm-up
+    for _ in range(3):
+        for name, fn in legs.items():
+            samples[name].append(fn())
+    med = {k: sorted(v)[1] for k, v in samples.items()}
+    sec, docs, chars, _ = med["extract_text"]
+    results["extract_text"] = round(sec, 3)
+    docs_per_sec = docs / sec
+    mb_per_sec = total_bytes / sec / 1e6
+    words_sec, n_words = med["extract_words"]
+    results["extract_words"] = round(words_sec, 3)
+    raster_sec, n_raster = med["ocr_text"]
+    results["ocr_text"] = round(raster_sec, 3)
+    raster_pages_per_sec = round(n_raster / raster_sec, 1)
+    sim_sec, n_sim = med["simhash"]
     results["simhash"] = round(sim_sec, 3)
     simhash_docs_per_sec = round(n_sim / sim_sec, 1)
     spark.stop()
