@@ -500,15 +500,52 @@ def _decode_layout(
     allowed = _allowed_indices(whitelist)
     if len(allowed) == 0:
         return []
-    cellblocks, meta = [], []
+    # Uniform (fixed-pitch) words — the overwhelming majority — have their
+    # glyph cells extracted by ONE fancy-index gather over a zero-padded
+    # page instead of a per-word buffer/reshape: glyph k of a word sits at
+    # (t, l + k*ADVANCE), and columns at or beyond the word box's right
+    # edge are masked to zero, which reproduces _word_cells' zero-filled
+    # buffer semantics exactly.  Offset/oversized glyphs keep the
+    # per-component path.
+    meta, uni, other = [], [], []
+    total = 0
     for para_id, line_id, boxes in layout:
         for word_id, box in enumerate(boxes):
-            cells = _word_cells(binary, box)
-            cellblocks.append(cells)
-            meta.append((para_id, line_id, word_id, box, len(cells)))
+            if _word_is_uniform(box):
+                l, t, r = int(box[0]), int(box[1]), int(box[2])
+                n = max(1, int(round((r - l + 2) / ADVANCE)))
+                uni.append((total, t, l, n, r))
+            else:
+                n = len(box[4])
+                other.append((total, box))
+            meta.append((para_id, line_id, word_id, box, n))
+            total += n
     if not meta:
         return []
-    big = np.concatenate(cellblocks, axis=0)
+    big = np.zeros((total, GLYPH_H * GLYPH_W), dtype=np.int32)
+    if uni:
+        h, w = binary.shape
+        padded = np.zeros((h + GLYPH_H, w + ADVANCE + GLYPH_W), dtype=bool)
+        padded[:h, :w] = binary
+        ua = np.asarray(uni, dtype=np.int64)  # (offset, t, l, n, r)
+        ns = ua[:, 3]
+        widx = np.repeat(np.arange(len(ua)), ns)
+        kk = np.arange(int(ns.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(ns) - ns, ns
+        )
+        ys = ua[widx, 1]
+        xs = ua[widx, 2] + kk * ADVANCE
+        cells = padded[
+            ys[:, None, None] + np.arange(GLYPH_H)[None, :, None],
+            xs[:, None, None] + np.arange(GLYPH_W)[None, None, :],
+        ]
+        thresh = (ua[widx, 4] - ua[widx, 2]) - kk * ADVANCE
+        cells &= np.arange(GLYPH_W)[None, None, :] < thresh[:, None, None]
+        big[ua[widx, 0] + kk] = cells.reshape(len(kk), -1)
+    for offset, box in other:
+        glyphs = sorted(box[4], key=lambda g: int(g[0]))
+        cells = _glyph_cells_from_stats(binary, glyphs)
+        big[offset : offset + len(cells)] = cells
     counts = np.fromiter((m[4] for m in meta), dtype=np.int64, count=len(meta))
     starts = np.zeros(len(counts), dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
