@@ -210,6 +210,122 @@ def _q_extract_failure_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_mode_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSM RAW analog (MODE_RAW = PSM_RAW_LINE, config.py; reference PSM
+    enums.rs:4-20 / set_page_seg_mode api.rs:668-680): every text run in
+    source order, NO boilerplate strip — so the boilerplate words
+    themselves (title, nav, cookie banner, ads, footer) appear in the
+    output, each run a line.  The page template is deterministic, so the
+    whole raw text is closed-form: a constant head (linear in doc_id), the
+    document's paragraphs as lines, a constant tail."""
+    from tesseract_rs_spark.config import MODE_RAW
+
+    pages = pages_from_documents(_docs(spark, sf_dir), para_words=PARA_WORDS)
+    cfg = ExtractConfig(mode=MODE_RAW)
+    return extract_text(pages, cfg, id_cols=("doc_id",)).select(
+        "doc_id", "text", "status"
+    )
+
+
+def _q_extract_mode_single_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSM SINGLE_BLOCK analog (MODE_SINGLE_BLOCK = PSM_SINGLE_BLOCK):
+    the whole page is ONE block — text nodes concatenate in source order,
+    separated only where the source had whitespace (adjacent inline tags
+    fuse, e.g. nav items), yielding a single line."""
+    from tesseract_rs_spark.config import MODE_SINGLE_BLOCK
+
+    pages = pages_from_documents(_docs(spark, sf_dir), para_words=PARA_WORDS)
+    cfg = ExtractConfig(mode=MODE_SINGLE_BLOCK)
+    return extract_text(pages, cfg, id_cols=("doc_id",)).select(
+        "doc_id", "text", "status"
+    )
+
+
+def _q_extract_preserve_spaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """preserve_interword_spaces=1 (reference variable, api.rs set_variable;
+    tests pin it in the hOCR path): space RUNS inside a text node survive
+    into the output instead of collapsing.  Pages are rendered from
+    documents whose every interword space is doubled, so the preserved
+    output differs from the collapsed one on every row."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.regexp_replace(F.trim(F.col("text")), " ", "  ")
+    )
+    # fixed template variant 0 (<main><article> hard keep): the density
+    # classifier is calibrated for single-spaced text
+    pages = pages_from_documents(docs, para_words=PARA_WORDS, variant=0)
+    cfg = ExtractConfig().with_variable("preserve_interword_spaces", "1")
+    return extract_text(pages, cfg, id_cols=("doc_id",)).select(
+        "doc_id", "text", "status"
+    )
+
+
+def _q_ocr_oem_ncc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """init_1 / tessedit_ocr_engine_mode switch (reference api.rs init_1,
+    tests/integration_test.rs:22): OEM 1 selects the normalized-cross-
+    correlation matcher instead of the Hamming template matcher.  On clean
+    renders both engines decode identically and NCC self-match is exactly
+    1.0, so text is the golden assembly and mean_conf is exactly 100."""
+    pages = raster_pages_from_documents(_docs(spark, sf_dir), WPL, LPP)
+    cfg = ExtractConfig(oem=1)
+    return ocr_text(pages, cfg, id_cols=("doc_id",)).select(
+        "doc_id", "text", "status", "mean_conf"
+    )
+
+
+def _q_ocr_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """set_image_2 surface (reference api.rs:1204-1260): 3-bytes-per-pixel
+    RGB pages with stride padding (bpl > width*bpp).  The render replicates
+    the gray page into R=G=B, and the integer luma (299r+587g+114b)//1000
+    is the identity on replicated channels — so decode, Otsu threshold,
+    and text are byte-identical to the 1-bpp page."""
+    pages = raster_pages_from_documents(
+        _docs(spark, sf_dir), WPL, LPP, bpp=3, pad=5
+    )
+    return ocr_text(pages, id_cols=("doc_id",)).select(
+        "doc_id", "text", "status", "threshold"
+    )
+
+
+def _q_render_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Renderer-metadata surface (get_extension / get_title /
+    get_image_num / set_output_name, /root/reference/src/
+    result_renderer.rs:141-185): per (document page x renderer kind) the
+    output extension, the title (output name sans extension, the
+    begin_document contract), and the 0-based image number within the
+    document's add_page sequence (a window rank, no collect)."""
+    from tesseract_rs_spark.operators.renderers import (
+        RENDERER_EXTENSIONS,
+        with_image_num,
+    )
+
+    docs = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    p0 = docs.select("doc_id", F.lit(0).alias("page_num"))
+    p1 = docs.filter(F.size(toks) >= 2).select(
+        "doc_id", F.lit(1).alias("page_num")
+    )
+    pages = with_image_num(
+        p0.unionByName(p1), key="doc_id", page_col="page_num"
+    )
+    kinds = spark.createDataFrame(
+        sorted(RENDERER_EXTENSIONS.items()), "kind string, extension string"
+    )
+    title = F.lpad(F.col("doc_id").cast("string"), 6, "0")
+    return (
+        pages.crossJoin(F.broadcast(kinds))
+        .withColumn(
+            "output_name",
+            F.concat(F.lit("/out/"), title, F.lit("."), F.col("extension")),
+        )
+        .withColumn("title", title)
+        .select(
+            "doc_id",
+            F.col("page_num").cast("long").alias("page_num"),
+            "image_num", "kind", "extension", "output_name", "title",
+        )
+    )
+
+
 def _q_render_unlv(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages_from_documents(_docs(spark, sf_dir), para_words=PARA_WORDS)
     words = extract_words(pages, id_cols=("doc_id",))
@@ -924,6 +1040,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_mean_conf": _q_extract_mean_conf,
         "extract_text_whitelist": _q_extract_text_whitelist,
         "extract_failure_spans": _q_extract_failure_spans,
+        "extract_mode_raw": _q_extract_mode_raw,
+        "extract_mode_single_block": _q_extract_mode_single_block,
+        "extract_preserve_spaces": _q_extract_preserve_spaces,
+        "ocr_oem_ncc": _q_ocr_oem_ncc,
+        "ocr_rgb": _q_ocr_rgb,
+        "render_manifest": _q_render_manifest,
         "render_unlv": _q_render_unlv,
         "render_tsv": _q_render_tsv,
         "render_tsv_spans": _q_render_tsv_spans,
@@ -992,6 +1114,37 @@ WITH words AS (
   FROM documents
 )
 """
+
+
+# Boilerplate text constants for the PSM-mode oracles, transcribed from
+# the page-template contract (corpus.py _HEAD/_TAIL): the title line is
+# 'Example Site page {doc_id}' (handled separately as it embeds doc_id);
+# these are the remaining head / tail text runs.  DuckDB string literals
+# may contain literal newlines, so the RAW joins embed them directly.
+_RAW_HEAD_SQL = "\n".join(
+    (
+        "Example Site", "Search", "Home", "News", "Archive", "About",
+        "Contact", "We use cookies to improve your experience",
+        "Learn more", "Accept",
+    )
+)
+_RAW_TAIL_SQL = "\n".join(
+    (
+        "Sponsored", "Buy now great deals today",
+        "Subscribe to our newsletter now", "Hot singles in your area",
+        "© 2026 Example Site ·", "Terms", "·", "Contact",
+    )
+)
+# SINGLE_BLOCK: same runs, separated only where the SOURCE had whitespace
+# (adjacent inline tags fuse: 'Example SiteSearch', 'HomeNews...').
+_SB_HEAD = (
+    "Example SiteSearch HomeNewsArchiveAboutContact "
+    "We use cookies to improve your experience Learn more Accept"
+)
+_SB_TAIL = (
+    "SponsoredBuy now great deals todaySubscribe to our newsletter now"
+    "Hot singles in your area © 2026 Example Site · Terms · Contact"
+)
 
 
 def _choices_values_sql(k: int = 3) -> str:
@@ -1176,6 +1329,116 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE sp.kind WHEN 0 THEN sp.a_e + sp.b_e * b.dd
                     ELSE b.prefix + sp.a_e END AS BIGINT) AS span_end
         FROM base b CROSS JOIN sp
+        """,
+        # PSM RAW: boilerplate text runs (template constants) + document
+        # paragraphs as lines, one block.  Constants transcribed from the
+        # page template contract (corpus.py _HEAD/_TAIL), not the kernel.
+        "extract_mode_raw": _WORDS_CTE
+        + f"""
+        , paras AS (
+          SELECT doc_id, CAST((wid - 1) // {PARA_WORDS} AS BIGINT) AS pid,
+                 string_agg(w, ' ' ORDER BY wid) AS para
+          FROM words GROUP BY doc_id, pid
+        )
+        SELECT doc_id,
+               'Example Site page ' || CAST(doc_id AS VARCHAR) || {nl}
+               || '{_RAW_HEAD_SQL}' || {nl}
+               || string_agg(para, {nl} ORDER BY pid) || {nl}
+               || '{_RAW_TAIL_SQL}' || {nl} AS text,
+               'ok' AS status
+        FROM paras GROUP BY doc_id
+        """,
+        # PSM SINGLE_BLOCK: one block, text nodes fused where the source
+        # had no whitespace between tags (nav items), single line.
+        "extract_mode_single_block": f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               'Example Site page ' || CAST(doc_id AS VARCHAR)
+               || ' {_SB_HEAD} ' || text || ' {_SB_TAIL}' || {nl} AS text,
+               'ok' AS status
+        FROM documents
+        """,
+        # preserve_interword_spaces=1 over doubled-space source text: space
+        # runs survive inside paragraphs; block edges are trimmed.
+        "extract_preserve_spaces": f"""
+        WITH words AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 generate_subscripts(string_split(replace(trim(text), ' ', '  '), ' '), 1) AS wid,
+                 unnest(string_split(replace(trim(text), ' ', '  '), ' ')) AS w
+          FROM documents
+        ),
+        paras AS (
+          SELECT doc_id, CAST((wid - 1) // {PARA_WORDS} AS BIGINT) AS pid,
+                 trim(string_agg(w, ' ' ORDER BY wid)) AS para
+          FROM words GROUP BY doc_id, pid
+        )
+        SELECT doc_id,
+               string_agg(para, {para_sep} ORDER BY pid) || {nl} AS text,
+               'ok' AS status
+        FROM paras GROUP BY doc_id
+        """,
+        # OEM 1 (NCC matcher): identical decode on clean renders; NCC
+        # self-match is exactly 1.0 -> mean_conf exactly 100.
+        "ocr_oem_ncc": _WORDS_CTE
+        + f"""
+        , lines AS (
+          SELECT doc_id, CAST((wid - 1) // {WPL} AS BIGINT) AS li,
+                 string_agg(w, ' ' ORDER BY wid) AS line
+          FROM words GROUP BY doc_id, li
+        ),
+        paras AS (
+          SELECT doc_id, CAST(li // {LPP} AS BIGINT) AS pi,
+                 string_agg(line, {nl} ORDER BY li) AS para
+          FROM lines GROUP BY doc_id, pi
+        )
+        SELECT doc_id,
+               string_agg(para, {para_sep} ORDER BY pi) || {nl} AS text,
+               'ok' AS status,
+               CAST(100 AS BIGINT) AS mean_conf
+        FROM paras GROUP BY doc_id
+        """,
+        # RGB (bpp=3, padded stride) pages: integer luma of replicated
+        # channels is the identity, so text AND Otsu threshold match the
+        # 1-bpp page exactly (ink value 40).
+        "ocr_rgb": _WORDS_CTE
+        + f"""
+        , lines AS (
+          SELECT doc_id, CAST((wid - 1) // {WPL} AS BIGINT) AS li,
+                 string_agg(w, ' ' ORDER BY wid) AS line
+          FROM words GROUP BY doc_id, li
+        ),
+        paras AS (
+          SELECT doc_id, CAST(li // {LPP} AS BIGINT) AS pi,
+                 string_agg(line, {nl} ORDER BY li) AS para
+          FROM lines GROUP BY doc_id, pi
+        )
+        SELECT doc_id,
+               string_agg(para, {para_sep} ORDER BY pi) || {nl} AS text,
+               'ok' AS status,
+               CAST(40 AS BIGINT) AS threshold
+        FROM paras GROUP BY doc_id
+        """,
+        # renderer metadata: extensions pinned by the reference's typed
+        # renderer set (result_renderer.rs:141-185); image_num is the
+        # 0-based page rank; title = output name sans extension.
+        "render_manifest": """
+        WITH pages AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST(0 AS BIGINT) AS page_num FROM documents
+          UNION ALL
+          SELECT CAST(doc_id AS BIGINT), CAST(1 AS BIGINT) FROM documents
+          WHERE len(string_split(text, ' ')) >= 2
+        ),
+        kinds(kind, extension) AS (
+          VALUES ('alto', 'xml'), ('box', 'box'), ('hocr', 'hocr'),
+                 ('lstm_box', 'box'), ('text', 'txt'), ('tsv', 'tsv'),
+                 ('unlv', 'unlv'), ('wordstr_box', 'box')
+        )
+        SELECT p.doc_id, p.page_num, p.page_num AS image_num,
+               k.kind, k.extension,
+               '/out/' || lpad(CAST(p.doc_id AS VARCHAR), 6, '0')
+                       || '.' || k.extension AS output_name,
+               lpad(CAST(p.doc_id AS VARCHAR), 6, '0') AS title
+        FROM pages p CROSS JOIN kinds k
         """,
         "render_unlv": _WORDS_CTE
         + f"""

@@ -182,8 +182,20 @@ def decode_page(payload) -> tuple:
 
 
 def otsu_threshold(img: np.ndarray) -> int:
-    """Between-class-variance argmax over the 256-bin histogram."""
-    hist = np.bincount(img.reshape(-1), minlength=256).astype(np.float64)
+    """Between-class-variance argmax over the 256-bin histogram.
+
+    The histogram counts byte PAIRS as one uint16 bincount (65536 bins),
+    then folds the low/high byte axes — half the scatter ops of a uint8
+    bincount, bit-identical counts."""
+    flat = img.reshape(-1)
+    n = flat.size
+    pairs = np.bincount(
+        flat[: n - (n % 2)].view(np.uint16), minlength=65536
+    ).reshape(256, 256)
+    # little-endian: uint16 = lo + 256*hi -> pairs[hi, lo]
+    hist = (pairs.sum(axis=0) + pairs.sum(axis=1)).astype(np.float64)
+    if n % 2:
+        hist[flat[-1]] += 1
     total = hist.sum()
     w0 = np.cumsum(hist)
     w1 = total - w0
@@ -684,7 +696,12 @@ def estimate_skew_deg(
     (deskew-angle channel of the orientation tuple,
     /root/reference/src/page_iterator.rs:182-217).  Vectorized: one
     bincount per candidate angle over the ink coordinates."""
-    ys, xs = np.nonzero(binary)
+    # row-major ink coordinates via ONE flatnonzero + vector divmod —
+    # identical values/order to np.nonzero(binary) at half the cost (the
+    # 2-D nonzero fills two index arrays in a scalar loop)
+    flat_ink = np.flatnonzero(binary)
+    ys = flat_ink // binary.shape[1]
+    xs = flat_ink - ys * binary.shape[1]
     if len(ys) < 16:
         return 0.0
     if len(ys) > 8192:  # subsample: variance estimate needs no more

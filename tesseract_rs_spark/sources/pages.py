@@ -73,6 +73,8 @@ def raster_pages_from_documents(
     sup_every: int | None = None,
     sub_every: int | None = None,
     drop_every: int | None = None,
+    bpp: int = 1,
+    pad: int = 0,
 ) -> DataFrame:
     """documents -> PAGE-raster pages (FIXTURES.md §1.1 binary layout):
     each document's text rasterized with the shared geometry constants, so
@@ -101,6 +103,8 @@ def raster_pages_from_documents(
                             t,
                             words_per_line,
                             lines_per_para,
+                            bpp=bpp,
+                            pad=pad,
                             rotate=(int(d) % 4) * 90 if rotate_mod4 else 0,
                             tur_every=tur_every,
                             sup_every=sup_every,
