@@ -326,6 +326,41 @@ def _q_render_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# dictionary for the word-predicate query (is_valid_word /
+# word_is_from_dictionary): a fixed sublist of the corpus vocabulary so
+# membership is genuinely mixed across rows
+PRED_DICT = (
+    "join", "hash", "row", "batch", "scan", "filter", "order", "data",
+    "table", "key",
+)
+
+
+def _q_word_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-level predicates (is_valid_word / word_is_from_dictionary,
+    /root/reference/src/api.rs:1003-1010, result_iterator.rs:145-164):
+    per extracted word, numeric-ness and dictionary membership.  Each
+    document gets its doc_id appended as a final word so word_is_numeric
+    has a true row per document; the dictionary is a fixed 10-word
+    sublist of the vocabulary (small list -> Catalyst-folded isin, no
+    join)."""
+    from tesseract_rs_spark.functions.text import (
+        word_in_dictionary,
+        word_is_numeric,
+    )
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.concat_ws(" ", "text", F.col("doc_id").cast("string"))
+    )
+    pages = pages_from_documents(docs, para_words=PARA_WORDS, variant=0)
+    words = extract_words(pages, id_cols=("doc_id",))
+    flagged = word_in_dictionary(words, PRED_DICT)
+    return flagged.select(
+        "doc_id", "block_id", "line_id", "word_id", "word",
+        word_is_numeric().alias("is_numeric"),
+        "in_dictionary",
+    )
+
+
 def _q_render_unlv(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages_from_documents(_docs(spark, sf_dir), para_words=PARA_WORDS)
     words = extract_words(pages, id_cols=("doc_id",))
@@ -1046,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_oem_ncc": _q_ocr_oem_ncc,
         "ocr_rgb": _q_ocr_rgb,
         "render_manifest": _q_render_manifest,
+        "word_predicates": _q_word_predicates,
         "render_unlv": _q_render_unlv,
         "render_tsv": _q_render_tsv,
         "render_tsv_spans": _q_render_tsv_spans,
@@ -1439,6 +1475,24 @@ def oracle_sql() -> dict[str, str]:
                        || '.' || k.extension AS output_name,
                lpad(CAST(p.doc_id AS VARCHAR), 6, '0') AS title
         FROM pages p CROSS JOIN kinds k
+        """,
+        # word predicates over documents with doc_id appended as a final
+        # word (so is_numeric has a true row per document)
+        "word_predicates": f"""
+        WITH words AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 generate_subscripts(string_split(text || ' ' || CAST(doc_id AS VARCHAR), ' '), 1) AS wid,
+                 unnest(string_split(text || ' ' || CAST(doc_id AS VARCHAR), ' ')) AS w
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST((wid - 1) // {PARA_WORDS} AS BIGINT) AS block_id,
+               CAST(0 AS BIGINT) AS line_id,
+               CAST((wid - 1) % {PARA_WORDS} AS BIGINT) AS word_id,
+               w AS word,
+               regexp_matches(w, '^[0-9]+$') AS is_numeric,
+               w IN ({", ".join(f"'{d}'" for d in PRED_DICT)}) AS in_dictionary
+        FROM words
         """,
         "render_unlv": _WORDS_CTE
         + f"""

@@ -134,6 +134,17 @@ def median_extract(spark, path: str, runs: int = 3, subset: int | None = None):
     return samples[len(samples) // 2]
 
 
+def best_extract(spark, path: str, runs: int = 3, subset: int | None = None):
+    """Warm-up once, then BEST of ``runs`` — for the scaling legs only.
+    Co-tenant noise only ever ADDS time, so for the low/high throughput
+    RATIO the minimum is the least-biased estimator of each parallelism
+    level's true speed; a median can still be polluted when a burst spans
+    most samples of one leg, yielding nonsense efficiencies > 1."""
+    timed_extract(spark, path, subset=subset)
+    samples = [timed_extract(spark, path, subset=subset) for _ in range(runs)]
+    return min(samples, key=lambda s: s[0])
+
+
 def main() -> None:
     results: dict = {}
     spark = get_spark("bench", cores=CPUS)
@@ -214,9 +225,9 @@ def main() -> None:
     scaling = None
     if SCALING:
         levels = {}
-        for label, n, runs in (("low", SCALE_LOW, 2), ("high", SCALE_HIGH, 3)):
+        for label, n, runs in (("low", SCALE_LOW, 3), ("high", SCALE_HIGH, 3)):
             s = get_spark(f"bench-{label}", cores=n)
-            sec_n, docs_n, _, _ = median_extract(
+            sec_n, docs_n, _, _ = best_extract(
                 s, path, runs=runs, subset=SCALING_FRACTION
             )
             s.stop()
