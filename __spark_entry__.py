@@ -361,6 +361,33 @@ def _q_word_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation over the EXTRACTED corpus: each
+    document plus an exact replica (doc_id + 1_000_000) renders to pages,
+    the engine extracts, the extracted text is flattened back to one line
+    (assembly newlines -> spaces, which reconstructs the source text by
+    the assembly contract), then curate() quality-filters, language-
+    filters, and exact-dedups — so every replica must be dropped in favor
+    of its original, and only quality>=55 'en' rows survive.  The whole
+    pipeline is one fused extract stage + one digest shuffle."""
+    from tesseract_rs_spark.functions.cleaning import curate
+
+    docs = _docs(spark, sf_dir)
+    dup = docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    pages = pages_from_documents(
+        docs.unionByName(dup), para_words=PARA_WORDS
+    )
+    extracted = extract_text(pages, id_cols=("doc_id",)).filter(
+        F.col("status") == "ok"
+    )
+    flat = extracted.withColumn(
+        "text", F.trim(F.regexp_replace("text", "\n+", " "))
+    )
+    return curate(flat, min_quality=55, keep_langs=("en",)).select(
+        "doc_id", "lang_pred", "quality", "n_tokens", "fingerprint"
+    )
+
+
 def _q_render_unlv(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages_from_documents(_docs(spark, sf_dir), para_words=PARA_WORDS)
     words = extract_words(pages, id_cols=("doc_id",))
@@ -1082,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_rgb": _q_ocr_rgb,
         "render_manifest": _q_render_manifest,
         "word_predicates": _q_word_predicates,
+        "corpus_curation": _q_corpus_curation,
         "render_unlv": _q_render_unlv,
         "render_tsv": _q_render_tsv,
         "render_tsv_spans": _q_render_tsv_spans,
@@ -1493,6 +1521,54 @@ def oracle_sql() -> dict[str, str]:
                regexp_matches(w, '^[0-9]+$') AS is_numeric,
                w IN ({", ".join(f"'{d}'" for d in PRED_DICT)}) AS in_dictionary
         FROM words
+        """,
+        # end-to-end curation: originals + exact replicas through quality
+        # + language filters, then keep-min-id exact dedup -- the
+        # flattened extracted text reconstructs the source text, so every
+        # signal is computable from `documents` directly
+        "corpus_curation": """
+        WITH all_docs AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+          UNION ALL
+          SELECT CAST(doc_id AS BIGINT) + 1000000, text FROM documents
+        ),
+        s AS (
+          SELECT doc_id, text,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+                 len(list_distinct(string_split(text, ' '))) AS nd,
+                 len(list_filter(string_split(text, ' '),
+                     x -> x IN ('the','a','is','of','and'))) AS en,
+                 len(list_filter(string_split(text, ' '),
+                     x -> x IN ('der','die','und','ist','das'))) AS de,
+                 len(list_filter(string_split(text, ' '),
+                     x -> x IN ('le','la','et','est','les'))) AS fr,
+                 len(list_filter(string_split(text, ' '),
+                     x -> x IN ('el','los','y','es','las'))) AS es
+          FROM all_docs
+        ),
+        scored AS (
+          SELECT doc_id, text, n_tokens,
+                 CAST(FLOOR(50.0 * LEAST(1.0, nt / 100.0)
+                            + 30.0 * (nd / nt)
+                            + 20.0 * LEAST(1.0, 10.0 * en / nt)) AS BIGINT)
+                   AS quality,
+                 CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                      WHEN de >= fr AND de >= es THEN 'de'
+                      WHEN fr >= es THEN 'fr'
+                      ELSE 'es' END AS lang_pred
+          FROM s
+        ),
+        ranked AS (
+          SELECT doc_id, lang_pred, quality, n_tokens,
+                 sha256(text) AS fingerprint,
+                 row_number() OVER (PARTITION BY sha256(text)
+                                    ORDER BY doc_id) AS rn
+          FROM scored
+          WHERE quality >= 55 AND lang_pred = 'en'
+        )
+        SELECT doc_id, lang_pred, quality, n_tokens, fingerprint
+        FROM ranked WHERE rn = 1
         """,
         "render_unlv": _WORDS_CTE
         + f"""

@@ -30,6 +30,42 @@ _PII_RULES = (
 )
 
 
+def curate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    min_quality: int = 55,
+    keep_langs: tuple = ("en",),
+) -> DataFrame:
+    """One-pass corpus curation — the canonical training-data shaping
+    pipeline (quality filter -> language filter -> exact dedup) as ONE
+    plan: quality score, language ID, and token count are computed INLINE
+    in a single narrow projection (no per-signal self-joins on id), the
+    filter runs inside whole-stage codegen before anything shuffles, and
+    the only exchange in the whole job is the digest shuffle of
+    :func:`~tesseract_rs_spark.functions.dedup.dedup_keep_first` — over
+    the FILTERED survivors only, so low-quality rows never cross the
+    network.  Adds (n_tokens, quality, lang_pred, fingerprint) columns."""
+    from tesseract_rs_spark.functions.dedup import dedup_keep_first
+    from tesseract_rs_spark.functions.text import (
+        lang_pred_expr,
+        quality_expr,
+        token_count,
+    )
+
+    scored = docs.select(
+        F.col(id_col),
+        F.col(col),
+        token_count(col).alias("n_tokens"),
+        quality_expr(col).alias("quality"),
+        lang_pred_expr(col).alias("lang_pred"),
+    ).filter(
+        (F.col("quality") >= min_quality)
+        & F.col("lang_pred").isin(*keep_langs)
+    )
+    return dedup_keep_first(scored, id_col=id_col, col=col)
+
+
 def pii_scrub(docs: DataFrame, id_col: str = "doc_id", col: str = "text") -> DataFrame:
     """(id, clean_text, n_pii): redact emails / IPv4s / phone numbers with
     typed placeholder tokens and count the redactions.  Chained

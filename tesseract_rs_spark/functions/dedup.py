@@ -56,6 +56,32 @@ def dedup_summary(docs: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+def dedup_keep_first(
+    docs: DataFrame, id_col: str = "doc_id", col: str = "text"
+) -> DataFrame:
+    """Exact dedup RETURNING THE SURVIVING ROWS, smallest id per content
+    digest (the keep-first rule of web-corpus exact dedup;
+    :func:`dedup_exact` above returns the assignment table instead).
+    ONE shuffle: rows
+    hash-partition by their 32-byte sha256 digest and a row_number picks
+    the survivor inside each digest group — no self-join and no second
+    pass over the corpus.  At 100 TB this moves each row across the
+    network exactly once, the minimum any global keep-one rule can pay;
+    pre-bucketing the table by digest (plans/bucketing) removes even
+    that exchange.  Adds the digest as a ``fingerprint`` column."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+    return (
+        docs.withColumn(
+            "fingerprint", F.sha2(F.col(col).cast("binary"), 256)
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def shingle_table(docs: DataFrame, id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """(id, shingle) exploded distinct word n-grams — pure JVM transform."""
     return docs.select(

@@ -54,36 +54,46 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Deterministic 0-100 quality score: length saturation + lexical
-    diversity + stopword presence (heuristics in the spirit of public
-    web-corpus quality filters; exact formula pinned for the oracle):
+def quality_expr(col: str = "text") -> Column:
+    """The quality-score COLUMN (composable into one-pass pipelines):
 
     score = floor(50*min(1, n_tokens/100) + 30*(n_distinct/n_tokens)
                   + 20*min(1, 10*sw_hits/n_tokens))
     """
-    s = text_stats(docs, id_col)
-    nt = F.col("n_tokens").cast("double")
-    score = F.floor(
+    nt = token_count(col).cast("double")
+    nd = F.size(F.array_distinct(tokens(col))).cast("long")
+    sw = stopword_hits(col)
+    return F.floor(
         50.0 * F.least(F.lit(1.0), nt / 100.0)
-        + 30.0 * (F.col("n_distinct") / nt)
-        + 20.0 * F.least(F.lit(1.0), 10.0 * F.col("sw_hits") / nt)
+        + 30.0 * (nd / nt)
+        + 20.0 * F.least(F.lit(1.0), 10.0 * sw / nt)
     ).cast("long")
-    return s.select(id_col, score.alias("quality"))
 
 
-def lang_id(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Stopword-list language ID with a fixed argmax tie-break order —
-    a deterministic heuristic twin-able in SQL."""
-    scores = {lang: stopword_hits("text", lang) for lang in LANG_ORDER}
-    en, de, fr, es = (scores[lang] for lang in LANG_ORDER)
-    pred = (
+def quality_score(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 0-100 quality score: length saturation + lexical
+    diversity + stopword presence (heuristics in the spirit of public
+    web-corpus quality filters; exact formula pinned for the oracle —
+    see :func:`quality_expr`)."""
+    return docs.select(F.col(id_col), quality_expr().alias("quality"))
+
+
+def lang_pred_expr(col: str = "text") -> Column:
+    """The language-ID COLUMN: stopword-list argmax with the fixed
+    LANG_ORDER tie-break."""
+    en, de, fr, es = (stopword_hits(col, lang) for lang in LANG_ORDER)
+    return (
         F.when((en >= de) & (en >= fr) & (en >= es), "en")
         .when((de >= fr) & (de >= es), "de")
         .when(fr >= es, "fr")
         .otherwise("es")
     )
-    return docs.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Stopword-list language ID with a fixed argmax tie-break order —
+    a deterministic heuristic twin-able in SQL."""
+    return docs.select(F.col(id_col), lang_pred_expr().alias("lang_pred"))
 
 
 def fingerprint(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:

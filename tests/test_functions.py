@@ -63,6 +63,31 @@ def test_dedup_exact_with_injected_duplicates(spark, docs):
     assert bad == 0
 
 
+def test_dedup_keep_first_survivors(spark, docs):
+    """Survivor semantics: one row per distinct text, smallest id wins."""
+    from tesseract_rs_spark.functions.dedup import dedup_keep_first
+
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    full = docs.unionByName(dup)
+    res = dedup_keep_first(full)
+    n_docs = docs.count()
+    assert res.count() == n_docs  # every replica dropped
+    assert res.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_curate_single_shuffle(spark, docs):
+    """The composed curation pipeline must pay exactly ONE exchange (the
+    digest shuffle of the dedup) — signals and filters stay inside the
+    scan stage."""
+    from tesseract_rs_spark.functions.cleaning import curate
+
+    out = curate(docs, min_quality=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert out.count() == docs.count()  # min_quality=0: nothing filtered,
+    # corpus has no exact dupes at sf0.001
+
+
 def test_simhash_separates_near_dups(spark, docs):
     sh = simhash(docs)
     pairs = ngram_jaccard_pairs(docs, threshold=0.8).select("id_a", "id_b")
