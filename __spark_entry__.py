@@ -388,6 +388,39 @@ def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-language sampling fractions for corpus_sample (downsample the
+# majority language, keep the rarest whole — the typical rebalance)
+SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.75, "fr": 0.75, "es": 0.75, "zh": 1.0}
+SAMPLE_SALT = "s0"
+PACK_BUDGET = 512
+
+
+def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language md5-hash gates —
+    reproducible independent of partitioning/cluster size (Spark's
+    native sample() is not), a pure no-shuffle filter."""
+    from tesseract_rs_spark.functions.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), SAMPLE_FRACTIONS, salt=SAMPLE_SALT
+    ).select("doc_id", "lang")
+
+
+def _q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style token-stream packing: documents in id order concatenate
+    into one stream cut every PACK_BUDGET tokens.  The global prefix sum
+    runs as a sharded scan (per-shard bases + bounded parallel windows),
+    never a single-partition window — the output is nevertheless exactly
+    the naive SQL running sum."""
+    from tesseract_rs_spark.functions.sampling import pack_stream
+    from tesseract_rs_spark.functions.text import token_count
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", token_count().alias("n_tokens")
+    )
+    return pack_stream(docs, budget=PACK_BUDGET)
+
+
 def _q_render_unlv(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages_from_documents(_docs(spark, sf_dir), para_words=PARA_WORDS)
     words = extract_words(pages, id_cols=("doc_id",))
@@ -1110,6 +1143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_manifest": _q_render_manifest,
         "word_predicates": _q_word_predicates,
         "corpus_curation": _q_corpus_curation,
+        "corpus_sample": _q_corpus_sample,
+        "token_packing": _q_token_packing,
         "render_unlv": _q_render_unlv,
         "render_tsv": _q_render_tsv,
         "render_tsv_spans": _q_render_tsv_spans,
@@ -1569,6 +1604,39 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, lang_pred, quality, n_tokens, fingerprint
         FROM ranked WHERE rn = 1
+        """,
+        # stratified hash-gate sampling: md5 first-8-hex-digit gate per
+        # language, thresholds = fraction * 2^32 (exact integers)
+        "corpus_sample": f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+        FROM documents
+        WHERE CAST(concat('0x', substr(
+                md5('{SAMPLE_SALT}' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)),
+                1, 8)) AS BIGINT)
+              < CASE lang
+                  {" ".join(f"WHEN '{l}' THEN {int(f * (1 << 32))}" for l, f in sorted(SAMPLE_FRACTIONS.items()))}
+                  ELSE -1 END
+        """,
+        # token-stream packing: the sharded distributed prefix sum must
+        # equal the naive global running sum exactly
+        "token_packing": f"""
+        WITH t AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+          FROM documents
+        ),
+        scan AS (
+          SELECT doc_id, tokens,
+                 CAST(COALESCE(SUM(tokens) OVER (
+                      ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS tokens_before
+          FROM t
+        )
+        SELECT doc_id, tokens, tokens_before,
+               CAST(tokens_before // {PACK_BUDGET} AS BIGINT) AS bin_id,
+               CAST(tokens_before % {PACK_BUDGET} AS BIGINT) AS bin_offset
+        FROM scan
         """,
         "render_unlv": _WORDS_CTE
         + f"""

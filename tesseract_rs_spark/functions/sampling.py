@@ -1,0 +1,134 @@
+"""Deterministic sampling and token-stream packing for training-data
+pipelines.
+
+Reproducibility is the contract: every operator here is a pure function
+of (row identity, explicit salt/params) — independent of cluster size,
+partitioning, and execution order — and each has an exact ANSI-SQL twin
+so the driver's DuckDB oracle checks it end-to-end.  (Spark's native
+``DataFrame.sample`` is seed-stable only for a fixed partitioning, which
+a real pipeline cannot promise; hash-gating on the row id is the
+idiomatic scale-safe replacement.)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+_HASH_SPACE = 1 << 32  # first 8 md5 hex digits
+
+
+def sample_hash(id_col: str = "doc_id", salt: str = "s0") -> Column:
+    """Uniform 32-bit gate value: first 8 hex digits of
+    md5(salt || id).  Engine-portable (md5 + hex parse exist in both
+    Spark and DuckDB), content-independent, and stable forever — the
+    sample a run drew is the sample every rerun draws."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def deterministic_sample(
+    docs: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "s0",
+) -> DataFrame:
+    """Keep a row iff its hash gate falls below ``fraction`` of the hash
+    space.  A pure filter: no shuffle, no state, pushes into the scan
+    stage; at 100 TB the sample costs exactly one read of the id
+    column."""
+    threshold = int(fraction * _HASH_SPACE)
+    return docs.filter(sample_hash(id_col, salt) < threshold)
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "s0",
+) -> DataFrame:
+    """Per-stratum hash-gated sampling (e.g. language rebalancing:
+    downsample 'en', keep all 'tr').  The per-stratum thresholds fold
+    into ONE when-chain filter — still no shuffle; strata absent from
+    ``fractions`` are dropped (explicit is safer than silently keeping
+    100% of an unnamed stratum)."""
+    gate = sample_hash(id_col, salt)
+    cond = F.lit(False)
+    for stratum, frac in sorted(fractions.items()):
+        cond = cond | (
+            (F.col(strat_col) == stratum) & (gate < int(frac * _HASH_SPACE))
+        )
+    return docs.filter(cond)
+
+
+def pack_stream(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    shards: int = 32,
+) -> DataFrame:
+    """Token-stream packing (GPT-style pretraining): documents in id
+    order concatenate into one global token stream that is cut every
+    ``budget`` tokens; returns (id, tokens, tokens_before, bin_id,
+    bin_offset) where ``bin_id`` is the training sequence the document
+    STARTS in and ``bin_offset`` its position inside it.
+
+    The global prefix sum is computed WITHOUT a single-partition window
+    (the naive ``Window.orderBy(id)`` collapses 100 TB onto one task):
+    ids split into ``shards`` contiguous ranges (deterministic — range
+    width from one tiny max(id) aggregate, not sampled boundaries), a
+    per-shard total aggregate (``shards`` rows) turns into exclusive
+    per-shard bases on the driver, and the within-shard running sum is a
+    window over ``shards`` parallel partitions, each bounded at N/shards
+    rows.  One data shuffle (by shard) + one scalar aggregate, output
+    independent of ``shards``."""
+    max_id = docs.agg(F.max(F.col(id_col))).collect()[0][0]
+    if max_id is None:
+        return docs.sparkSession.createDataFrame(
+            [],
+            f"{id_col} long, tokens long, tokens_before long, "
+            "bin_id long, bin_offset long",
+        )
+    width = max(1, (int(max_id) + shards) // shards)
+    shard = (F.col(id_col) / width).cast("long")
+    slim = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(token_col).cast("long").alias("tokens"),
+        shard.alias("_shard"),
+    )
+    totals = (
+        slim.groupBy("_shard")
+        .agg(F.sum("tokens").alias("_total"))
+        .collect()
+    )
+    base, bases = 0, []
+    for row in sorted(totals, key=lambda r: r["_shard"]):
+        bases.append((row["_shard"], base))
+        base += row["_total"]
+    base_df = F.broadcast(
+        docs.sparkSession.createDataFrame(bases, "_shard long, _base long")
+    )
+    w = (
+        Window.partitionBy("_shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        slim.join(base_df, "_shard")
+        .withColumn(
+            "tokens_before",
+            F.col("_base") + F.sum("tokens").over(w) - F.col("tokens"),
+        )
+        .withColumn("bin_id", (F.col("tokens_before") / budget).cast("long"))
+        .withColumn("bin_offset", F.col("tokens_before") % budget)
+    )
+    return packed.select(
+        id_col, "tokens", "tokens_before", "bin_id", "bin_offset"
+    )

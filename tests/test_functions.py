@@ -88,6 +88,51 @@ def test_curate_single_shuffle(spark, docs):
     # corpus has no exact dupes at sf0.001
 
 
+def test_pack_stream_shard_invariant(spark, docs):
+    """The sharded distributed prefix sum must be EXACTLY the global
+    running sum for any shard count — including shards=1 (degenerate
+    single window) and a count that doesn't divide the id range."""
+    from tesseract_rs_spark.functions.sampling import pack_stream
+    from tesseract_rs_spark.functions.text import token_count
+
+    base = docs.select("doc_id", token_count().alias("n_tokens"))
+    ref = {
+        r["doc_id"]: (r["tokens_before"], r["bin_id"], r["bin_offset"])
+        for r in pack_stream(base, budget=128, shards=1).collect()
+    }
+    assert len(ref) == base.count()
+    # continuity: sorted by id, tokens_before is the exclusive cumsum
+    rows = sorted(
+        pack_stream(base, budget=128, shards=7).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    run = 0
+    for r in rows:
+        assert r["tokens_before"] == run
+        assert (ref[r["doc_id"]]) == (
+            r["tokens_before"], r["bin_id"], r["bin_offset"]
+        )
+        run += r["tokens"]
+
+
+def test_deterministic_sample_stable_and_sized(spark, docs):
+    from tesseract_rs_spark.functions.sampling import deterministic_sample
+
+    a = sorted(r["doc_id"] for r in deterministic_sample(docs, 0.4).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in deterministic_sample(docs.repartition(13), 0.4).collect()
+    )
+    assert a == b  # partitioning-independent
+    n = docs.count()
+    assert 0.25 * n < len(a) < 0.55 * n  # gate actually near the fraction
+    c = sorted(
+        r["doc_id"]
+        for r in deterministic_sample(docs, 0.4, salt="other").collect()
+    )
+    assert a != c  # salt changes the draw
+
+
 def test_simhash_separates_near_dups(spark, docs):
     sh = simhash(docs)
     pairs = ngram_jaccard_pairs(docs, threshold=0.8).select("id_a", "id_b")
