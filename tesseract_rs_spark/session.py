@@ -28,6 +28,13 @@ def get_spark(
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(32, 2 * cores)
+    # ONE BLAS thread per Python worker: every core already runs a worker,
+    # so letting OpenBLAS spawn its own threads (default 2 here) only
+    # oversubscribes — measured 954 -> 1207 pages/s on the raster leg at
+    # local[32].  Set in the driver env (local-mode workers inherit it)
+    # AND as executorEnv for real clusters.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     b = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
@@ -40,6 +47,8 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
