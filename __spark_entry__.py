@@ -745,6 +745,20 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.8)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS from the MinHash pair graph: distributed
+    hash-min label propagation -> (doc_id, cluster_id = component-min id).
+    Real dedup keeps one survivor per component, not per pair — chains
+    (a~b, b~c) must land in ONE cluster.  Oracle: recursive-CTE
+    min-reachability over the same exact-Jaccard pairs."""
+    from tesseract_rs_spark.functions.dedup import dup_clusters
+
+    pairs = minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    return dup_clusters(pairs)
+
+
 def _q_pii_scrub(spark, sf_dir):
     """PII redaction over documents with deterministically injected PII
     (email/IPv4/phone per doc) so the scrubber is exercised on real
@@ -1175,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_summary": _q_dedup_summary,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_clusters": _q_dedup_clusters,
         "pii_scrub": _q_pii_scrub,
         "url_normalize": _q_url_normalize,
         "contamination": _q_contamination,
@@ -1604,6 +1619,42 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, lang_pred, quality, n_tokens, fingerprint
         FROM ranked WHERE rn = 1
+        """,
+        # near-dup clusters: recursive-CTE min-reachability over the
+        # exact-Jaccard pair graph (the same pairs the LSH path emits —
+        # recall == 100% is pinned in tests), cluster id = component min
+        "dedup_clusters": _WORDS_CTE.replace("WITH words", "WITH RECURSIVE words")
+        + """
+        , sh AS (
+          SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+          FROM words a
+          JOIN words b ON a.doc_id = b.doc_id AND b.wid = a.wid + 1
+          JOIN words c ON a.doc_id = c.doc_id AND c.wid = a.wid + 2
+        ),
+        pair AS (
+          SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        dup AS (
+          SELECT id_a, id_b FROM pair
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.8
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM dup
+          UNION
+          SELECT id_b, id_a FROM dup
+        ),
+        reach(u, v) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        )
+        SELECT u AS doc_id, CAST(MIN(v) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY u
         """,
         # stratified hash-gate sampling: md5 first-8-hex-digit gate per
         # language, thresholds = fraction * 2^32 (exact integers)

@@ -82,6 +82,76 @@ def dedup_keep_first(
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Connected components over the duplicate-pair graph -> (doc_id,
+    cluster_id) with cluster_id = the component's minimum doc id.  Real
+    dedup keeps ONE survivor per CLUSTER, not per pair — pairwise
+    drop-the-larger-id breaks on chains (a~b, b~c: b and c both dropped,
+    or kept, depending on order).
+
+    Distributed hash-min label propagation: every node starts labeled
+    with its own id; each round replaces a node's label with the minimum
+    over its neighborhood; fixpoint = component minimum.  Rounds needed =
+    graph diameter, and near-dup graphs are near-cliques (LSH buckets
+    connect most members pairwise), so this converges in 2-3 rounds where
+    the O(log n) small-star/large-star alternation would pay its extra
+    constant factor.  Each round is one join + one groupBy on the EDGE
+    list — the corpus itself never enters the loop, and dup edges are a
+    tiny fraction of corpus size.  The driver-side loop is control flow
+    only (a convergence counter, constant rows); per-round results are
+    cached so lineage stays flat."""
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    edges.cache()
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(max_rounds):
+        prop = (
+            edges.join(
+                labels.select(
+                    F.col("u").alias("v"), F.col("label").alias("nbr")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("nbr").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(prop, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce("nbr", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels.cache()
+        changed = (
+            new_labels.join(
+                labels.select(
+                    "u", F.col("label").alias("old_label")
+                ),
+                "u",
+            )
+            .filter(F.col("label") != F.col("old_label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def shingle_table(docs: DataFrame, id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """(id, shingle) exploded distinct word n-grams — pure JVM transform."""
     return docs.select(

@@ -88,6 +88,26 @@ def test_curate_single_shuffle(spark, docs):
     # corpus has no exact dupes at sf0.001
 
 
+def test_dup_clusters_chains_and_components(spark):
+    """Chains must collapse to ONE cluster (the pairwise-drop failure
+    mode), disjoint components must stay apart; the 4-chain has diameter
+    3, so convergence needs multiple propagation rounds."""
+    from tesseract_rs_spark.functions.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()
+    }
+    assert out == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
 def test_pack_stream_shard_invariant(spark, docs):
     """The sharded distributed prefix sum must be EXACTLY the global
     running sum for any shard count — including shards=1 (degenerate
