@@ -421,6 +421,56 @@ def _q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_stream(docs, budget=PACK_BUDGET)
 
 
+def _q_engine_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config/introspection surface exercised DISTRIBUTED — the
+    try_clone/broadcast-config replay (set_variable -> get_variable ->
+    print_variables round-trip per task, /root/reference/src/
+    api.rs:132-248) plus the engine registry constants (version,
+    embedded_languages, charset size — api.rs version/embedded
+    accessors).  Each doc sets source_resolution = 70 + (doc_id%4)*10 so
+    the round-trip is row-dependent, not a constant fold.  Introspection
+    only (~bytes per row) — not a hot path."""
+    import pandas as pd
+
+    from tesseract_rs_spark import __version__
+    from tesseract_rs_spark.kernels.raster import CHARSET, LANG_ATLASES
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    langs = "+".join(sorted(LANG_ATLASES))
+    charset_n = len(CHARSET)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["doc_id"].astype("int64")
+            dpis, dumps = [], []
+            for d in ids:
+                cfg = ExtractConfig().with_variable(
+                    "source_resolution", str(70 + (int(d) % 4) * 10)
+                )
+                dpis.append(int(cfg.get_variable("source_resolution")))
+                dumps.append(cfg.print_variables())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "dpi": pd.array(dpis, dtype="int64"),
+                    "var_dump": dumps,
+                    "version": __version__,
+                    "embedded_langs": langs,
+                    "charset_size": pd.array(
+                        [charset_n] * len(ids), dtype="int64"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(
+        gen,
+        "doc_id long, dpi long, var_dump string, version string, "
+        "embedded_langs string, charset_size long",
+    )
+
+
 def _q_render_unlv(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages_from_documents(_docs(spark, sf_dir), para_words=PARA_WORDS)
     words = extract_words(pages, id_cols=("doc_id",))
@@ -1159,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": _q_corpus_curation,
         "corpus_sample": _q_corpus_sample,
         "token_packing": _q_token_packing,
+        "engine_manifest": _q_engine_manifest,
         "render_unlv": _q_render_unlv,
         "render_tsv": _q_render_tsv,
         "render_tsv_spans": _q_render_tsv_spans,
@@ -1688,6 +1739,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(tokens_before // {PACK_BUDGET} AS BIGINT) AS bin_id,
                CAST(tokens_before % {PACK_BUDGET} AS BIGINT) AS bin_offset
         FROM scan
+        """,
+        # config round-trip + engine registry constants (version /
+        # embedded languages / charset contract, pinned independently)
+        "engine_manifest": """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(70 + (CAST(doc_id AS BIGINT) % 4) * 10 AS BIGINT) AS dpi,
+               'source_resolution' || chr(9)
+                 || CAST(70 + (CAST(doc_id AS BIGINT) % 4) * 10 AS VARCHAR)
+                 || chr(10) AS var_dump,
+               '0.1.0' AS version,
+               'eng+tur' AS embedded_langs,
+               CAST(40 AS BIGINT) AS charset_size
+        FROM documents
         """,
         "render_unlv": _WORDS_CTE
         + f"""
