@@ -88,7 +88,15 @@ def pack_stream(
     per-shard bases on the driver, and the within-shard running sum is a
     window over ``shards`` parallel partitions, each bounded at N/shards
     rows.  One data shuffle (by shard) + one scalar aggregate, output
-    independent of ``shards``."""
+    independent of ``shards``.
+
+    Ordering within a shard tie-breaks on (id, tokens), so the output is
+    deterministic whenever (id, tokens) pairs are distinct; rows that are
+    full duplicates yield an identical output multiset either way.  Ids
+    should be unique upstream (dedup first) for a meaningful stream
+    order."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
     max_id = docs.agg(F.max(F.col(id_col))).collect()[0][0]
     if max_id is None:
         return docs.sparkSession.createDataFrame(
@@ -117,7 +125,7 @@ def pack_stream(
     )
     w = (
         Window.partitionBy("_shard")
-        .orderBy(F.col(id_col).asc())
+        .orderBy(F.col(id_col).asc(), F.col("tokens").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     packed = (
