@@ -135,6 +135,30 @@ def test_pack_stream_shard_invariant(spark, docs):
         run += r["tokens"]
 
 
+def test_pack_stream_random_equivalence(spark):
+    """Seeded random (sparse ids, varied token counts, a zero-token doc):
+    sharded prefix sum == numpy cumsum ground truth."""
+    import numpy as np
+
+    from tesseract_rs_spark.functions.sampling import pack_stream
+
+    rng = np.random.RandomState(0)
+    ids = np.sort(rng.choice(100000, size=300, replace=False))
+    toks = rng.randint(0, 900, size=300)
+    toks[7] = 0  # empty document must not break continuity
+    df = spark.createDataFrame(
+        [(int(i), int(t)) for i, t in zip(ids, toks)],
+        "doc_id long, n_tokens long",
+    )
+    before = np.concatenate([[0], np.cumsum(toks)[:-1]])
+    got = {
+        r["doc_id"]: (r["tokens_before"], r["bin_id"], r["bin_offset"])
+        for r in pack_stream(df, budget=777, shards=11).collect()
+    }
+    for i, b in zip(ids, before):
+        assert got[int(i)] == (int(b), int(b) // 777, int(b) % 777)
+
+
 def test_deterministic_sample_stable_and_sized(spark, docs):
     from tesseract_rs_spark.functions.sampling import deterministic_sample
 
