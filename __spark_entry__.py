@@ -1188,6 +1188,16 @@ def _q_rel_top_orders(spark, sf_dir):
     )
 
 
+def _q_rel_large_orders(spark, sf_dir):
+    from tesseract_rs_spark.functions.relational import large_order_customers
+
+    return large_order_customers(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text": _q_extract_text,
@@ -1260,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props": _q_events_props,
         "rel_pricing_summary": _q_rel_pricing_summary,
         "rel_top_orders": _q_rel_top_orders,
+        "rel_large_orders": _q_rel_large_orders,
         "rel_local_supplier_volume": _q_rel_local_supplier_volume,
         "rel_promo_revenue": _q_rel_promo_revenue,
         "events_asof": _q_events_asof,
@@ -2830,6 +2841,22 @@ def oracle_sql() -> dict[str, str]:
                || string_agg(s, ' ' ORDER BY wid)
                || '</p></div>' AS hocr
         FROM spans GROUP BY doc_id
+        """,
+        # Q18-shaped group-by-HAVING + join chain
+        "rel_large_orders": """
+        WITH big AS (
+          SELECT l_orderkey,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+          FROM lineitem GROUP BY 1
+          HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
+        )
+        SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name,
+               CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+               CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
+               b.sum_qty
+        FROM big b
+        JOIN orders o ON o.o_orderkey = b.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
         """,
         "rel_top_orders": """
         WITH seg AS (

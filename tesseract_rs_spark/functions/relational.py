@@ -108,6 +108,37 @@ def promo_revenue_by_type(
     )
 
 
+def large_order_customers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    min_qty: int = 300,
+) -> DataFrame:
+    """Q18-shaped group-by-HAVING + join chain: orders whose total line
+    quantity exceeds ``min_qty``, with their customer.  Scale shape: the
+    HAVING aggregate reduces lineitem to per-order totals FIRST (one key
+    shuffle with map-side partial aggregation — the only fact-table
+    exchange); the tiny qualifying set then broadcasts through orders and
+    customer, so neither dimension join shuffles the fact side."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > min_qty)
+    )
+    oj = orders.join(
+        broadcast(big), orders.o_orderkey == big.l_orderkey
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "sum_qty")
+    return customer.join(
+        broadcast(oj), customer.c_custkey == oj.o_custkey
+    ).select(
+        F.col("c_custkey").cast("long"),
+        "c_name",
+        F.col("o_orderkey").cast("long"),
+        F.col("o_orderdate").cast("string"),
+        "sum_qty",
+    )
+
+
 def top_orders_by_quantity(
     lineitem: DataFrame, orders: DataFrame, customer: DataFrame, k: int = 10
 ) -> DataFrame:
