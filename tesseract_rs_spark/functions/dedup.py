@@ -94,22 +94,27 @@ def dup_clusters(
     drop-the-larger-id breaks on chains (a~b, b~c: b and c both dropped,
     or kept, depending on order).
 
-    Distributed hash-min label propagation: every node starts labeled
-    with its own id; each round replaces a node's label with the minimum
-    over its neighborhood; fixpoint = component minimum.  Rounds needed =
-    graph diameter, and near-dup graphs are near-cliques (LSH buckets
-    connect most members pairwise), so this converges in 2-3 rounds where
-    the O(log n) small-star/large-star alternation would pay its extra
-    constant factor.  Each round is one join + one groupBy on the EDGE
-    list — the corpus itself never enters the loop, and dup edges are a
-    tiny fraction of corpus size.  The driver-side loop is control flow
-    only (a convergence counter, constant rows); per-round results are
-    cached so lineage stays flat."""
+    Distributed hash-min label propagation WITH pointer jumping: every
+    node starts labeled with its own id; each round takes the minimum
+    label over the neighborhood, then compresses label -> label(label)
+    (a label is always a node id, so it has a label of its own).  The
+    neighborhood step alone needs diameter rounds — fine for the
+    near-clique components LSH emits, but a gradual-drift CHAIN of
+    near-dups (a~b~c~...) has diameter O(n); the jumping step halves
+    chain depth every round, so convergence is O(log diameter) for any
+    graph.  Each round is two joins + one groupBy on the EDGE list —
+    the corpus itself never enters the loop, and dup edges are a tiny
+    fraction of corpus size.  The driver-side loop is control flow only
+    (a convergence counter, constant rows); each round's labels are
+    localCheckpoint'ed — an iterative plan that merely caches keeps its
+    whole join lineage and the optimizer blows up around round ~10 (on a
+    cluster with dynamic allocation, swap in reliable checkpoint() to
+    survive executor loss)."""
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     edges = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
-    edges.cache()
+    edges = edges.localCheckpoint(eager=True)
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
     for _ in range(max_rounds):
         prop = (
@@ -131,7 +136,18 @@ def dup_clusters(
                 ).alias("label"),
             )
         )
-        new_labels.cache()
+        # pointer jumping: label <- label(label) (labels are node ids,
+        # so every label has a label); halves chain depth per round
+        lut = new_labels.select(
+            F.col("u").alias("_lu"), F.col("label").alias("_l2")
+        )
+        new_labels = (
+            new_labels.join(lut, new_labels.label == lut._lu, "left")
+            .select(
+                "u",
+                F.coalesce("_l2", "label").alias("label"),
+            )
+        ).localCheckpoint(eager=True)
         changed = (
             new_labels.join(
                 labels.select(
@@ -142,11 +158,9 @@ def dup_clusters(
             .filter(F.col("label") != F.col("old_label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select(
         F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
     )

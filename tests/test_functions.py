@@ -108,6 +108,20 @@ def test_dup_clusters_chains_and_components(spark):
     }
 
 
+def test_dup_clusters_long_chain(spark):
+    """A 200-node path (gradual-drift near-dups) has diameter 199 —
+    pointer jumping must converge within the round cap where plain
+    neighborhood propagation would not."""
+    from tesseract_rs_spark.functions.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    out = dup_clusters(pairs)
+    assert out.filter(F.col("cluster_id") != 0).count() == 0
+    assert out.count() == 201
+
+
 def test_pack_stream_shard_invariant(spark, docs):
     """The sharded distributed prefix sum must be EXACTLY the global
     running sum for any shard count — including shards=1 (degenerate
