@@ -161,6 +161,13 @@ def dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silently returning partially-propagated labels would report one
+        # component as several clusters; with pointer jumping the cap
+        # covers depth 2^max_rounds, so hitting it means something is off
+        raise RuntimeError(
+            f"dup_clusters did not converge within {max_rounds} rounds"
+        )
     return labels.select(
         F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -119,7 +119,13 @@ def large_order_customers(
     HAVING aggregate reduces lineitem to per-order totals FIRST (one key
     shuffle with map-side partial aggregation — the only fact-table
     exchange); the tiny qualifying set then broadcasts through orders and
-    customer, so neither dimension join shuffles the fact side."""
+    customer, so neither dimension join shuffles the fact side.
+
+    The broadcast hints assume ``min_qty`` is SELECTIVE (Q18's premise —
+    a handful of qualifying orders).  A non-selective threshold would
+    broadcast a large set past the planner's size check; drop the hints
+    (AQE then picks the join strategy from runtime stats) if calling
+    with low thresholds at scale."""
     big = (
         lineitem.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))

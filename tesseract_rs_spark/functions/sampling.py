@@ -94,10 +94,19 @@ def pack_stream(
     deterministic whenever (id, tokens) pairs are distinct; rows that are
     full duplicates yield an identical output multiset either way.  Ids
     should be unique upstream (dedup first) for a meaningful stream
-    order."""
+    order; rows with a NULL id have no stream position and are excluded.
+    The slim (id, tokens) projection is cached, so an expensive upstream
+    plan (e.g. the extract pipeline) computes ONCE even though the
+    operator runs two tiny driver jobs (max id, per-shard totals) before
+    the output job."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    max_id = docs.agg(F.max(F.col(id_col))).collect()[0][0]
+    slim0 = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(token_col).cast("long").alias("tokens"),
+    ).filter(F.col(id_col).isNotNull())
+    slim0.cache()
+    max_id = slim0.agg(F.max(F.col(id_col))).collect()[0][0]
     if max_id is None:
         return docs.sparkSession.createDataFrame(
             [],
@@ -105,12 +114,7 @@ def pack_stream(
             "bin_id long, bin_offset long",
         )
     width = max(1, (int(max_id) + shards) // shards)
-    shard = (F.col(id_col) / width).cast("long")
-    slim = docs.select(
-        F.col(id_col).cast("long").alias(id_col),
-        F.col(token_col).cast("long").alias("tokens"),
-        shard.alias("_shard"),
-    )
+    slim = slim0.withColumn("_shard", (F.col(id_col) / width).cast("long"))
     totals = (
         slim.groupBy("_shard")
         .agg(F.sum("tokens").alias("_total"))

@@ -186,7 +186,12 @@ def otsu_threshold(img: np.ndarray) -> int:
 
     The histogram counts byte PAIRS as one uint16 bincount (65536 bins),
     then folds the low/high byte axes — half the scatter ops of a uint8
-    bincount, bit-identical counts."""
+    bincount, bit-identical counts.  The pair trick reinterprets raw
+    bytes, so it is only valid for uint8 input; other integer dtypes fall
+    back to the plain bincount rather than silently mis-binning."""
+    if img.dtype != np.uint8:
+        hist = np.bincount(img.reshape(-1), minlength=256).astype(np.float64)
+        return _otsu_from_hist(hist)
     flat = img.reshape(-1)
     n = flat.size
     pairs = np.bincount(
@@ -196,6 +201,10 @@ def otsu_threshold(img: np.ndarray) -> int:
     hist = (pairs.sum(axis=0) + pairs.sum(axis=1)).astype(np.float64)
     if n % 2:
         hist[flat[-1]] += 1
+    return _otsu_from_hist(hist)
+
+
+def _otsu_from_hist(hist: np.ndarray) -> int:
     total = hist.sum()
     w0 = np.cumsum(hist)
     w1 = total - w0
