@@ -288,6 +288,53 @@ class TestStatefulStreaming:
         assert got == batch
 
 
+class TestStreamDedup:
+    """Streaming exact dedup: duplicates within AND across micro-batches
+    collapse to one row per content digest; unique content all passes."""
+
+    def test_stream_dedup_within_and_across_batches(self, spark, tmp_path):
+        import pandas as pd
+
+        from tesseract_rs_spark.streaming.dedup import stream_dedup
+
+        t0 = pd.Timestamp("2026-01-01 10:00:00")
+        mk = lambda url, text, mins: {
+            "url": url,
+            "warc_ts": t0 + pd.Timedelta(minutes=mins),
+            "text": text,
+        }
+        # batch 0: A, B, dup-of-A (same batch); batch 1: dup-of-B
+        # (across batches, inside the horizon), C (new)
+        in_dir = tmp_path / "in"
+        spark.createDataFrame(
+            pd.DataFrame(
+                [mk("u1", "alpha", 0), mk("u2", "beta", 1), mk("u3", "alpha", 2)]
+            )
+        ).coalesce(1).write.parquet(str(in_dir / "f=0"))
+        spark.createDataFrame(
+            pd.DataFrame([mk("u4", "beta", 3), mk("u5", "gamma", 4)])
+        ).coalesce(1).write.parquet(str(in_dir / "f=1"))
+        stream = (
+            spark.readStream.schema("url string, warc_ts timestamp, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(in_dir) + "/*")
+        )
+        q = (
+            stream_dedup(stream, horizon="1 hour")
+            .writeStream.format("memory")
+            .queryName("dedup_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.sql("SELECT text, url FROM dedup_stream").toPandas()
+        assert sorted(out["text"]) == ["alpha", "beta", "gamma"]
+        # first arrival wins across batches: beta's survivor is batch-0's
+        assert set(out[out["text"] == "beta"]["url"]) == {"u2"}
+        assert set(out[out["text"] == "gamma"]["url"]) == {"u5"}
+
+
 class TestWatermarkLateData:
     """withWatermark bounded-lateness semantics (SURVEY §2.7 streaming):
     a late row INSIDE the lateness bound is counted; a row older than the
