@@ -388,10 +388,12 @@ def _word_is_uniform(box) -> bool:
     nominal height — the fast fixed-pitch decode path.  Vertically offset
     glyphs (super/subscript) or oversized glyphs (drop caps) take the
     per-component path."""
-    glyphs = box[4]
-    tops = [int(g[1]) for g in glyphs]
-    heights = [int(g[3]) - int(g[1]) for g in glyphs]
-    return max(tops) - min(tops) <= 2 and max(heights) <= GLYPH_H + 2
+    g = box[4]  # (n, 5) stats slice — vector reductions, no per-glyph loop
+    tops = g[:, 1]
+    return (
+        int(tops.max()) - int(tops.min()) <= 2
+        and int((g[:, 3] - tops).max()) <= GLYPH_H + 2
+    )
 
 
 def _glyph_cells_from_stats(binary: np.ndarray, glyphs_sorted) -> np.ndarray:
