@@ -173,6 +173,35 @@ def test_pack_stream_random_equivalence(spark):
         assert got[int(i)] == (int(b), int(b) // 777, int(b) % 777)
 
 
+def test_pack_stream_null_ids_and_bad_budget(spark):
+    import pytest as _pytest
+
+    from tesseract_rs_spark.functions.sampling import pack_stream
+
+    df = spark.createDataFrame(
+        [(1, 10), (None, 99), (2, 20)], "doc_id long, n_tokens long"
+    )
+    rows = sorted(
+        pack_stream(df, budget=16).collect(), key=lambda r: r["doc_id"]
+    )
+    # NULL id has no stream position: excluded, continuity unaffected
+    assert [(r["doc_id"], r["tokens_before"]) for r in rows] == [(1, 0), (2, 10)]
+    with _pytest.raises(ValueError):
+        pack_stream(df, budget=0)
+
+
+def test_otsu_non_uint8_fallback():
+    import numpy as np
+
+    from tesseract_rs_spark.kernels.raster import otsu_threshold
+
+    rng = np.random.RandomState(3)
+    img8 = rng.randint(0, 256, size=(50, 70)).astype(np.uint8)
+    # same values in a wider dtype must give the same threshold (the
+    # pair-bincount trick must NOT reinterpret wide-element bytes)
+    assert otsu_threshold(img8.astype(np.int64)) == otsu_threshold(img8)
+
+
 def test_deterministic_sample_stable_and_sized(spark, docs):
     from tesseract_rs_spark.functions.sampling import deterministic_sample
 
