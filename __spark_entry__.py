@@ -795,6 +795,16 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.8)
 
 
+def _q_repeated_spans(spark, sf_dir):
+    """Cross-document repeated 3-gram spans (substring-level dedup,
+    Lee et al. 2022): merged per-doc token spans whose n-grams occur in
+    at least one other document.  Oracle: string-level self-join + the
+    same gaps-and-islands window in SQL."""
+    from tesseract_rs_spark.functions.cleaning import repeated_ngram_spans
+
+    return repeated_ngram_spans(_docs(spark, sf_dir), n=3)
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS from the MinHash pair graph: distributed
     hash-min label propagation -> (doc_id, cluster_id = component-min id).
@@ -1251,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
+        "repeated_spans": _q_repeated_spans,
         "pii_scrub": _q_pii_scrub,
         "url_normalize": _q_url_normalize,
         "contamination": _q_contamination,
@@ -1681,6 +1692,43 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, lang_pred, quality, n_tokens, fingerprint
         FROM ranked WHERE rn = 1
+        """,
+        # cross-doc repeated 3-gram spans: string-level repeat detection
+        # + the same gaps-and-islands merge in SQL
+        "repeated_spans": """
+        WITH toks AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+                 unnest(string_split(text, ' ')) AS w
+          FROM documents
+        ),
+        grams AS (
+          SELECT a.doc_id, a.pos, a.w || ' ' || b.w || ' ' || c.w AS g
+          FROM toks a
+          JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        ),
+        rep AS (
+          SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+        ),
+        hits AS (SELECT doc_id, pos FROM grams JOIN rep USING (g)),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - COALESCE(lag(pos) OVER (
+                      PARTITION BY doc_id ORDER BY pos), -1099511627776)
+                      > 3 THEN 1 ELSE 0 END AS newf
+          FROM hits
+        ),
+        sp AS (
+          SELECT doc_id, pos,
+                 SUM(newf) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) - 1 AS span_id
+          FROM isl
+        )
+        SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+               CAST(MIN(pos) AS BIGINT) AS tok_start,
+               CAST(MAX(pos) + 3 AS BIGINT) AS tok_end
+        FROM sp GROUP BY doc_id, span_id
         """,
         # near-dup clusters: recursive-CTE min-reachability over the
         # exact-Jaccard pair graph (the same pairs the LSH path emits —

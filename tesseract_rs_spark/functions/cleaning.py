@@ -66,6 +66,63 @@ def curate(
     return dedup_keep_first(scored, id_col=id_col, col=col)
 
 
+def repeated_ngram_spans(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", col: str = "text"
+) -> DataFrame:
+    """Cross-document repeated n-gram SPANS — the substring-dedup
+    primitive of "Deduplicating Training Data Makes Language Models
+    Better" (Lee et al. 2022, arXiv:2107.06499), at shingle resolution:
+    every token position whose n-gram also occurs in at least one OTHER
+    document, merged into maximal token spans per document ->
+    (id, span_id, tok_start, tok_end) with tok_end exclusive.
+
+    Scale shape: only (xxhash64(ngram), id, pos) triples shuffle — text
+    never leaves its scan stage; repeated hashes come from one aggregate
+    (distinct doc count >= 2) re-joined as a left-semi; span merging is
+    gaps-and-islands over a per-doc window (partitioned by id — never a
+    single-partition window).  A 64-bit hash collision could only mark a
+    unique n-gram as repeated (P ~ m^2/2^64 — negligible, and the merge
+    step is tolerant: a spurious position widens a span by at most n)."""
+    from pyspark.sql import Window
+
+    from tesseract_rs_spark.functions.text import word_ngrams_all
+
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams_all(col, n)).alias("pos", "_g"),
+    ).select(
+        id_col,
+        F.col("pos").cast("long").alias("pos"),
+        F.xxhash64("_g").alias("_h"),
+    )
+    rep = (
+        grams.groupBy("_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_d"))
+        .filter(F.col("_d") >= 2)
+        .select("_h")
+    )
+    hits = grams.join(rep, "_h", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        hits.withColumn(
+            "_new",
+            F.when(
+                F.col("pos") - F.lag("pos", 1, -(1 << 40)).over(w) > n, 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "span_id",
+            (F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ) - 1).cast("long"),
+        )
+    )
+    return spans.groupBy(id_col, "span_id").agg(
+        F.min("pos").cast("long").alias("tok_start"),
+        (F.max("pos") + n).cast("long").alias("tok_end"),
+    )
+
+
 def pii_scrub(docs: DataFrame, id_col: str = "doc_id", col: str = "text") -> DataFrame:
     """(id, clean_text, n_pii): redact emails / IPv4s / phone numbers with
     typed placeholder tokens and count the redactions.  Chained

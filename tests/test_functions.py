@@ -88,6 +88,29 @@ def test_curate_single_shuffle(spark, docs):
     # corpus has no exact dupes at sf0.001
 
 
+def test_repeated_ngram_spans_merge(spark):
+    """Two docs sharing a 5-token run: positions 0..2 (3-grams at 0,1,2)
+    merge into ONE span [0,5); a doc-unique tail emits nothing; a doc
+    with two separated shared runs gets two spans."""
+    from tesseract_rs_spark.functions.cleaning import repeated_ngram_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e x1 y1 z1 q1 r1"),
+            (2, "a b c d e x2 y2 z2 a b c d e"),
+            (3, "p q r s t u v w"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["tok_start"], r["tok_end"])
+        for r in repeated_ngram_spans(docs, n=3).collect()
+    }
+    # doc 1: one span over the shared 5-token prefix
+    # doc 2: shared prefix AND the shared suffix (positions 8..10 -> [8,13))
+    assert out == {(1, 0, 5), (2, 0, 5), (2, 8, 13)}
+
+
 def test_dup_clusters_chains_and_components(spark):
     """Chains must collapse to ONE cluster (the pairwise-drop failure
     mode), disjoint components must stay apart; the 4-chain has diameter
