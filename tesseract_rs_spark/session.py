@@ -32,9 +32,11 @@ def get_spark(
     # so letting OpenBLAS spawn its own threads (default 2 here) only
     # oversubscribes — measured 954 -> 1207 pages/s on the raster leg at
     # local[32].  Set in the driver env (local-mode workers inherit it)
-    # AND as executorEnv for real clusters.
+    # AND as executorEnv for real clusters.  UNCONDITIONAL: a harness that
+    # pre-exports OPENBLAS_NUM_THREADS=32 would otherwise silently undo the
+    # pin and cost ~4x on the BLAS-heavy raster leg (VERDICT r3).
     for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS"):
-        os.environ.setdefault(var, "1")
+        os.environ[var] = "1"
     b = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")

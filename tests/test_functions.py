@@ -519,16 +519,49 @@ def test_asof_join_null_payload(spark):
 
 
 def test_lsh_params_threshold_edges():
-    """threshold=1.0 (exact-dup call) and <=-1 must not divide by zero
-    (ADVICE r2)."""
+    """threshold=1.0 (exact-dup call) must not divide by zero (ADVICE r2);
+    t<=-1 has no bounded plan and must raise the descriptive error, not
+    loop or overflow (VERDICT r3 #4)."""
+    import pytest as _pytest
+
     from tesseract_rs_spark.functions.similarity import lsh_params_for_threshold
 
     k, l = lsh_params_for_threshold(1.0)
     assert k >= 1 and l >= 1
-    k2, l2 = lsh_params_for_threshold(-1.0)
-    assert k2 >= 1 and l2 >= 1
-    k3, l3 = lsh_params_for_threshold(0.9)
+    with _pytest.raises(ValueError, match="IVF"):
+        lsh_params_for_threshold(-1.0)
+    with _pytest.warns(UserWarning, match="IVF"):
+        k3, l3 = lsh_params_for_threshold(0.45)
     assert k3 >= 1 and l3 >= 1
+
+
+def test_lsh_params_bounded_tables():
+    """VERDICT r3 #4 'Done' pin: params at t in {0.45, 0.7, 0.9} all keep
+    n_tables <= 32 (the old derivation returned ~177 at t=0.45), the
+    depth grows with the threshold (stronger pruning when affordable),
+    and even adversarially low thresholds stay bounded instead of
+    silently exploding the signature volume."""
+    import warnings
+
+    from tesseract_rs_spark.functions.similarity import lsh_params_for_threshold
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        p45 = lsh_params_for_threshold(0.45)
+        p70 = lsh_params_for_threshold(0.7)
+        p90 = lsh_params_for_threshold(0.9)
+        low = lsh_params_for_threshold(0.2)
+    for k, l in (p45, p70, p90, low):
+        assert 1 <= l <= 32, (k, l)
+        assert k >= 1
+    assert p45[0] <= p70[0] <= p90[0], (p45, p70, p90)
+    # the guarantee the caps must NOT break: miss probability at the
+    # threshold stays under the 1e-6 target
+    import math
+
+    for t, (k, l) in ((0.45, p45), (0.7, p70), (0.9, p90)):
+        p = 1.0 - math.acos(t) / math.pi
+        assert (1.0 - p**k) ** l <= 1e-6
 
 
 def test_kmv_sketch_estimate_accuracy(spark, docs):
@@ -648,3 +681,46 @@ def test_minhash_identical_docs_adversarial(spark):
     )
     pairs = minhash_dedup_pairs(docs, threshold=0.8, cap=32)
     assert pairs.count() == n_docs * (n_docs - 1) // 2
+
+
+def test_ann_ivf_full_recall_equals_exact(emb):
+    """nprobe == n_centroids probes every cell, so the IVF result must
+    equal the exact brute-force top-k — the regime the driver query runs
+    in (shares cosine_topk's SQL oracle)."""
+    from tesseract_rs_spark.functions.similarity import ann_ivf_topk, cosine_topk
+
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {tuple(r) for r in cosine_topk(emb, q, k=5).collect()}
+    ivf = {
+        tuple(r)
+        for r in ann_ivf_topk(emb, q, k=5, n_centroids=8, nprobe=8).collect()
+    }
+    assert ivf == exact
+
+
+def test_ann_ivf_approximate_recall(emb):
+    """The honest approximate regime: nprobe=3 of 8 cells must still
+    recall most exact neighbors (near-random corpus => cells carve the
+    sphere; the query's own cell plus two neighbors cover the bulk of
+    its true top-k), and the candidate volume must actually shrink."""
+    from tesseract_rs_spark.functions.similarity import (
+        ann_ivf_topk,
+        cosine_topk,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {tuple(r) for r in cosine_topk(emb, q, k=5).collect()}
+    approx = {
+        tuple(r)
+        for r in ann_ivf_topk(emb, q, k=5, n_centroids=8, nprobe=3).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, recall
+    # pruning is real: every corpus vector lands in exactly ONE cell
+    cents = ivf_centroids(emb, 8)
+    cells = ivf_assign(emb, cents, 1)
+    n = emb.count()
+    assert cells.count() == n
+    assert cells.select("cell").distinct().count() <= 8
