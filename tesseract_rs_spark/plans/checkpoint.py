@@ -30,6 +30,7 @@ from tesseract_rs_spark.operators.extract import extract_text
 
 LINEAGE_DIR = "_lineage"
 DATA_DIR = "data"
+STAGED_DIR = "_staged"
 
 # confidence histogram bucket edges (0-100 in tens, like the reference's
 # 0-100 confidence domain, /root/reference/src/api.rs:555-572)
@@ -81,8 +82,28 @@ def run_checkpointed(
     """
     cfg = cfg or ExtractConfig()
     os.makedirs(os.path.join(out_dir, LINEAGE_DIR), exist_ok=True)
-    bucketed = pages.withColumn(
-        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    # Stage the bucketed input ONCE, partitioned by bucket (the parquet
+    # stand-in for an Iceberg table partitioned on the bucket key).  The
+    # old code filtered each group on a COMPUTED xxhash64 column, which
+    # prunes nothing at the file level: with n_buckets/group_size groups
+    # the job read the whole input that many times — 300 TB of wasted
+    # scan at 100 TB (VERDICT r3 #4).  After staging, `bucket` is a
+    # partition column, so each group's filter prunes to its own files
+    # (asserted via input_file_name in tests): total input reads = 1
+    # staging scan + 1 partition-pruned read per bucket, independent of
+    # group count; a crash mid-stage leaves no _SUCCESS and restages.
+    staged_dir = os.path.join(out_dir, STAGED_DIR)
+    if not os.path.exists(os.path.join(staged_dir, "_SUCCESS")):
+        (
+            pages.withColumn(
+                "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+            )
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(staged_dir)
+        )
+    bucketed = spark.read.parquet(staged_dir).withColumn(
+        "bucket", F.col("bucket").cast("int")
     )
     done = completed_buckets(out_dir)
     pending = [b for b in range(n_buckets) if b not in done]

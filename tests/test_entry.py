@@ -23,6 +23,10 @@ def oracle_con():
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
+    # normalize null-likes: Spark NULLs arrive as None (object cols) while
+    # DuckDB's arrive as NaN — pandas will stop treating those as equal
+    # (FutureWarning in assert_frame_equal); one representation for both
+    df = df.astype(object).where(df.notna(), None)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
@@ -47,3 +51,13 @@ def test_query_matches_oracle(spark, oracle_con, name):
         return
     want = _canon(oracle_con.sql(sql).df())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_registry_within_driver_budget():
+    """The driver's per-round CORRECTNESS harness runs the FIRST ~50
+    queries() entries — any entry beyond 50 never gets a hard oracle row
+    (this is why round 4 consolidated 79 -> 50).  Keep the registry at or
+    under the budget, with an oracle for every entry."""
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    assert len(qs) <= 50, f"registry has {len(qs)} queries; driver checks ~50"
+    assert set(qs) == set(osql)
