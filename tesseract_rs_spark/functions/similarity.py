@@ -286,6 +286,11 @@ def ivf_assign(
     broadcast codebook — map-only, no shuffle, constant bytes per vector
     emitted (the IVF property that makes it the low-threshold scale path
     the LSH cap routes to, VERDICT r3 #4)."""
+    if not centroids:
+        raise ValueError(
+            "empty IVF codebook: the corpus passed to ivf_centroids had "
+            "no rows — train the quantizer on a non-empty corpus"
+        )
     cmat = np.stack([c for _, c in centroids])  # (nlist, dim)
     cn = np.linalg.norm(cmat, axis=1)
     cn[cn == 0.0] = 1.0

@@ -724,3 +724,17 @@ def test_ann_ivf_approximate_recall(emb):
     n = emb.count()
     assert cells.count() == n
     assert cells.select("cell").distinct().count() <= 8
+
+
+def test_ann_ivf_empty_corpus_raises(spark):
+    """An empty corpus cannot train a codebook — the error must be a
+    descriptive ValueError, not a numpy stack crash."""
+    import pytest as _pytest
+
+    from tesseract_rs_spark.functions.similarity import ivf_assign, ivf_centroids
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    cents = ivf_centroids(empty, 4)
+    assert cents == []
+    with _pytest.raises(ValueError, match="empty IVF codebook"):
+        ivf_assign(empty, cents)
