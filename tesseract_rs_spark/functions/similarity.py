@@ -258,8 +258,9 @@ def ivf_centroids(
 ):
     """Deterministic IVF coarse-quantizer codebook: the ``n_centroids``
     corpus vectors with the smallest ids.  A production IVF trains
-    k-means on a sample; a fixed id-ordered sample is the deterministic,
-    cross-engine-reproducible stand-in (the cell structure it induces is
+    k-means on a sample (:func:`ivf_centroids_kmeans`); a fixed
+    id-ordered sample is the simplest deterministic,
+    cross-engine-reproducible codebook (the cell structure it induces is
     equally valid — recall/cost tradeoffs are governed by nprobe either
     way).  Returns a tiny driver-side list[(centroid_id, np.ndarray)] —
     nlist × dim floats, broadcast-sized by construction."""
@@ -272,6 +273,61 @@ def ivf_centroids(
     return [
         (i, np.asarray(r[vec_col], dtype=np.float64)) for i, r in enumerate(rows)
     ]
+
+
+def ivf_centroids_kmeans(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    sample_size: int = 4096,
+    n_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Production-shaped IVF codebook: spherical k-means trained on a
+    DETERMINISTIC hash-gated sample (the same md5-gate idiom as
+    ``functions/sampling.py`` — reproducible across partitionings and
+    cluster sizes, unlike ``DataFrame.sample``).
+
+    Scale shape: the sample is the only data that reaches the driver
+    (``sample_size`` rows, orderBy(hash) LIMIT — a TakeOrdered, no full
+    sort); Lloyd iterations run driver-side in numpy over nlist × dim —
+    microseconds.  Training is spherical (centroids L2-normalized each
+    round, assignment by dot product = cosine), matching the cosine
+    metric ``ann_ivf_topk`` buckets by.  Empty clusters are re-seeded
+    with the sample vector FARTHEST from its centroid, so the codebook
+    always has ``n_centroids`` distinct cells.  Fully deterministic:
+    hash-ordered sample + index-tie-broken argmax, no RNG."""
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(sample_size)
+        .collect()
+    )
+    if not rows:
+        return []
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    unit = mat / norms[:, None]
+    k = min(n_centroids, len(unit))
+    cents = unit[:k].copy()
+    for _ in range(n_iters):
+        sims = unit @ cents.T  # (n, k) cosine since both sides unit
+        assign = np.argmax(sims, axis=1)  # ties -> lowest index (stable)
+        new = np.zeros_like(cents)
+        np.add.at(new, assign, unit)
+        counts = np.bincount(assign, minlength=k)
+        empty = np.flatnonzero(counts == 0)
+        if len(empty):
+            # farthest-from-its-centroid points re-seed empty cells
+            far = np.argsort(sims[np.arange(len(unit)), assign], kind="stable")
+            for e, j in zip(empty, far):
+                new[e] = unit[j]
+                counts[e] = 1
+        nn = np.linalg.norm(new, axis=1)
+        nn[nn == 0.0] = 1.0
+        cents = new / nn[:, None]
+    return [(i, cents[i]) for i in range(k)]
 
 
 def ivf_assign(
@@ -328,6 +384,7 @@ def ann_ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train: str = "ids",
 ) -> DataFrame:
     """IVF approximate top-k (the coarse-quantizer scale path): corpus
     vectors bucket into their nearest centroid's cell (map-only GEMM);
@@ -341,8 +398,18 @@ def ann_ivf_topk(
     nprobe/nlist of the corpus.  At ``nprobe == n_centroids`` every cell
     is probed, so the result equals the exact :func:`cosine_topk` — the
     full-recall regime that gives the driver query an exact SQL oracle
-    (the same trick ann_lsh_topk used in round 2)."""
-    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    (the same trick ann_lsh_topk used in round 2); that identity holds
+    for ANY codebook, so ``train`` only affects the approximate regime.
+
+    ``train``: ``"ids"`` = id-ordered codebook (:func:`ivf_centroids`);
+    ``"kmeans"`` = deterministic spherical k-means on a hash-gated
+    sample (:func:`ivf_centroids_kmeans`) — the production shape."""
+    if train == "kmeans":
+        cents = ivf_centroids_kmeans(
+            corpus, n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
     c_cells = ivf_assign(corpus, cents, 1, id_col, vec_col).withColumnRenamed(
         id_col, "neighbor_id"
     )

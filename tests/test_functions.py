@@ -738,3 +738,50 @@ def test_ann_ivf_empty_corpus_raises(spark):
     assert cents == []
     with _pytest.raises(ValueError, match="empty IVF codebook"):
         ivf_assign(empty, cents)
+
+
+def test_ann_ivf_kmeans_codebook(emb):
+    """k-means-trained codebook: deterministic across calls, exactly k
+    distinct unit-norm centroids, better (or equal) cell balance than
+    the id-ordered codebook, and full-recall equality with the exact
+    top-k holds for it too (the oracle identity is codebook-independent)."""
+    import numpy as np
+
+    from tesseract_rs_spark.functions.similarity import (
+        ann_ivf_topk,
+        cosine_topk,
+        ivf_assign,
+        ivf_centroids_kmeans,
+    )
+
+    c1 = ivf_centroids_kmeans(emb, 8, sample_size=256, n_iters=5)
+    c2 = ivf_centroids_kmeans(emb, 8, sample_size=256, n_iters=5)
+    assert len(c1) == 8
+    for (i, a), (j, b) in zip(c1, c2):
+        assert i == j and np.allclose(a, b)  # deterministic
+        assert abs(np.linalg.norm(a) - 1.0) < 1e-9  # spherical
+    # every corpus vector lands in a cell; all 8 cells are populated
+    cells = ivf_assign(emb, c1, 1).groupBy("cell").count().collect()
+    assert len(cells) == 8
+    # full recall regime equals exact for the trained codebook too
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {tuple(r) for r in cosine_topk(emb, q, k=3).collect()}
+    ivf = {
+        tuple(r)
+        for r in ann_ivf_topk(
+            emb, q, k=3, n_centroids=8, nprobe=8, train="kmeans"
+        ).collect()
+    }
+    assert ivf == exact
+
+
+def test_ann_ivf_no_nested_loop_plan(emb):
+    """The IVF candidate generation must be a (cell)-keyed equi-join —
+    never a corpus x queries nested loop."""
+    from tesseract_rs_spark.functions.similarity import ann_ivf_topk
+
+    out = ann_ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=3,
+                       n_centroids=8, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
