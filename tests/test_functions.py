@@ -211,6 +211,21 @@ def test_pack_stream_null_ids_and_bad_budget(spark):
     assert [(r["doc_id"], r["tokens_before"]) for r in rows] == [(1, 0), (2, 10)]
     with _pytest.raises(ValueError):
         pack_stream(df, budget=0)
+    # NULL token count likewise (ADVICE r3: the old code crashed with a
+    # TypeError when a whole shard's token sum was NULL, and silently
+    # emitted NULL positions otherwise)
+    dfn = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 20)], "doc_id long, n_tokens long"
+    )
+    rows_n = sorted(
+        pack_stream(dfn, budget=16).collect(), key=lambda r: r["doc_id"]
+    )
+    assert [(r["doc_id"], r["tokens_before"]) for r in rows_n] == [(1, 0), (3, 10)]
+    # the all-NULL-token frame must return empty, not raise
+    df_all = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, n_tokens long"
+    )
+    assert pack_stream(df_all, budget=16).count() == 0
 
 
 def test_otsu_non_uint8_fallback():
