@@ -1355,11 +1355,28 @@ def _q_text_stats_m(spark, sf_dir):
 
 def _q_doc_profile_m(spark, sf_dir):
     """Per-doc curation profile: quality score, language id, repetition
-    signals — three signal families, one row per doc."""
+    signals, and corpus-frequency fluency signals (CCNet/Gopher-style
+    rare-bigram statistics vs the whole corpus) — four signal families,
+    one row per doc."""
+    from tesseract_rs_spark.functions.text import corpus_fluency_signals
+
     q = _q_quality_score(spark, sf_dir)
     l = _q_lang_id(spark, sf_dir)
     r = _q_repetition_signals(spark, sf_dir)
-    return q.join(l, "doc_id").join(r, "doc_id")
+    f = corpus_fluency_signals(_docs(spark, sf_dir))
+    return (
+        q.join(l, "doc_id")
+        .join(r, "doc_id")
+        .join(f, "doc_id", "left")
+        .select(
+            "doc_id", "quality", "lang_pred",
+            "n_words", "n_distinct_words", "top_word_count", "top_2gram_count",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("sum_bigram_freq", F.lit(0)).alias("sum_bigram_freq"),
+            F.coalesce("n_rare_bigrams", F.lit(0)).alias("n_rare_bigrams"),
+            F.coalesce("min_bigram_freq", F.lit(0)).alias("min_bigram_freq"),
+        )
+    )
 
 
 def _q_fingerprint_m(spark, sf_dir):
@@ -3276,11 +3293,37 @@ def oracle_sql() -> dict[str, str]:
         FROM {sub("text_stats")} t JOIN {sub("token_count_bpe")} b USING (doc_id)
         """,
         "doc_profile": f"""
+        WITH toks AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos,
+                 unnest(string_split(text, ' ')) AS w
+          FROM documents
+        ),
+        bg AS (
+          SELECT a.doc_id, a.w || ' ' || b.w AS g
+          FROM toks a JOIN toks b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ),
+        fr AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY g),
+        flu AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(SUM(c) AS BIGINT) AS sum_bigram_freq,
+                 CAST(SUM(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_rare_bigrams,
+                 CAST(MIN(c) AS BIGINT) AS min_bigram_freq
+          FROM bg JOIN fr USING (g) GROUP BY doc_id
+        )
         SELECT q.doc_id, q.quality, l.lang_pred,
-               r.n_words, r.n_distinct_words, r.top_word_count, r.top_2gram_count
+               r.n_words, r.n_distinct_words, r.top_word_count, r.top_2gram_count,
+               COALESCE(f.n_bigrams, 0) AS n_bigrams,
+               COALESCE(f.sum_bigram_freq, 0) AS sum_bigram_freq,
+               COALESCE(f.n_rare_bigrams, 0) AS n_rare_bigrams,
+               COALESCE(f.min_bigram_freq, 0) AS min_bigram_freq
         FROM {sub("quality_score")} q
         JOIN {sub("lang_id")} l USING (doc_id)
         JOIN {sub("repetition_signals")} r USING (doc_id)
+        LEFT JOIN flu f USING (doc_id)
         """,
         "fingerprint": f"""
         SELECT f.doc_id, f.fingerprint, s.shingle_fp, h.simhash

@@ -181,6 +181,46 @@ def word_ngrams_all(col: str = "text", n: int = 2) -> Column:
     )
 
 
+def corpus_fluency_signals(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """CCNet/Gopher-style corpus-frequency fluency signal (Wenzek et al.
+    2020 filter docs by LM perplexity; Rae et al. 2021 by rare-n-gram
+    fractions — both public): per doc, exact-integer ingredients of a
+    bigram-frequency fluency score against statistics of the WHOLE corpus
+    — (id, n_bigrams, sum_bigram_freq, n_rare_bigrams, min_bigram_freq),
+    where freq = corpus-wide occurrence count of the bigram and "rare"
+    means freq <= 2 (gibberish and boilerplate-free junk score high
+    rare fractions; fluent text reuses common bigrams).  Consumers divide
+    driver-side (rare fraction = n_rare_bigrams / n_bigrams; mean
+    frequency = sum_bigram_freq / n_bigrams).
+
+    Deliberately integer-exact instead of a log-probability: IEEE log/sum
+    order differ across engines, which would break the bit-exact oracle
+    contract; the integer counters carry the same ranking signal.  A
+    production pipeline would swap in a pretrained KenLM via the same
+    join shape.
+
+    Scale shape: the bigram count table is vocabulary-sized (a groupBy on
+    the gram string with map-side combine — the same class as the shingle
+    ops); docs then join it BY GRAM, so the shuffle carries (gram,
+    count) and (id, gram) pairs, never the document text."""
+    grams = docs.select(
+        F.col(id_col), F.explode(word_ngrams_all("text", 2)).alias("_g")
+    )
+    freqs = grams.groupBy("_g").agg(F.count("*").alias("_freq"))
+    return (
+        grams.join(freqs, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("_freq").alias("sum_bigram_freq"),
+            F.sum(F.when(F.col("_freq") <= 2, 1).otherwise(0)).alias(
+                "n_rare_bigrams"
+            ),
+            F.min("_freq").alias("min_bigram_freq"),
+        )
+    )
+
+
 def repetition_signals(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition counters (Rae et al. 2021 quality filters,
     public): per doc, the exact-integer ingredients of the

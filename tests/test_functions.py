@@ -800,3 +800,30 @@ def test_ann_ivf_no_nested_loop_plan(emb):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_corpus_fluency_signals(spark):
+    """Hand-computed fixture: shared bigrams are frequent across the
+    corpus, gibberish bigrams are rare (freq <= 2), and a doc's counters
+    follow exactly."""
+    from tesseract_rs_spark.functions.text import corpus_fluency_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),          # bigrams: 'the cat', 'cat sat'
+            (2, "the cat ran"),          # 'the cat' (again), 'cat ran'
+            (3, "the cat sat down"),     # 'the cat', 'cat sat', 'sat down'
+            (4, "zq xv qp"),             # gibberish: both bigrams unique
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in corpus_fluency_signals(docs).collect()}
+    # corpus freqs: 'the cat'=3, 'cat sat'=2, 'cat ran'=1, 'sat down'=1,
+    # 'zq xv'=1, 'xv qp'=1
+    r1 = out[1]
+    assert (r1["n_bigrams"], r1["sum_bigram_freq"]) == (2, 5)
+    assert (r1["n_rare_bigrams"], r1["min_bigram_freq"]) == (1, 2)
+    r4 = out[4]
+    assert (r4["n_bigrams"], r4["sum_bigram_freq"]) == (2, 2)
+    # gibberish: every bigram rare -> rare fraction 1.0
+    assert (r4["n_rare_bigrams"], r4["min_bigram_freq"]) == (2, 1)
