@@ -30,6 +30,31 @@ _PII_RULES = (
 )
 
 
+def latest_snapshot(
+    pages: DataFrame, key_col: str = "url", ts_col: str = "warc_ts"
+) -> DataFrame:
+    """Snapshot dedup for re-crawled pages: keep each url's LATEST crawl
+    (the standard first step of a Common-Crawl-style pipeline — the same
+    page appears once per crawl with a new ``warc_ts``).  Ties on the
+    timestamp break deterministically by the greatest remaining column
+    tuple, so the survivor is partition-order-independent.
+
+    Scale shape: ONE key shuffle with map-side partial aggregation —
+    ``max_by``-style max(struct(ts, payload)) per key, no window sort and
+    no second pass; the payload rides inside the aggregate struct, so at
+    100 TB the exchange carries each key once per map partition."""
+    others = [c for c in pages.columns if c != key_col]
+    packed = F.max(F.struct(*[F.col(ts_col)] + [
+        F.col(c) for c in others if c != ts_col
+    ])).alias("_s")
+    kept = pages.groupBy(key_col).agg(packed)
+    cols = [F.col(key_col)] + [
+        F.col(f"_s.{c}" if c != ts_col else f"_s.{ts_col}").alias(c)
+        for c in others
+    ]
+    return kept.select(*cols)
+
+
 def curate(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -827,3 +827,33 @@ def test_corpus_fluency_signals(spark):
     assert (r4["n_bigrams"], r4["sum_bigram_freq"]) == (2, 2)
     # gibberish: every bigram rare -> rare fraction 1.0
     assert (r4["n_rare_bigrams"], r4["min_bigram_freq"]) == (2, 1)
+
+
+def test_latest_snapshot_keeps_newest_crawl(spark):
+    """Re-crawled urls collapse to the latest warc_ts; timestamp ties
+    break deterministically by the remaining columns (greatest tuple)."""
+    import datetime as dt
+
+    from tesseract_rs_spark.functions.cleaning import latest_snapshot
+
+    t = lambda h: dt.datetime(2026, 1, 1, h)
+    pages = spark.createDataFrame(
+        [
+            ("u1", t(1), b"old", "v1", "en"),
+            ("u1", t(3), b"new", "v3", "en"),
+            ("u1", t(2), b"mid", "v2", "en"),
+            ("u2", t(5), b"only", "x", "de"),
+            ("u3", t(7), b"a", "tie-a", "fr"),
+            ("u3", t(7), b"b", "tie-b", "fr"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = {r["url"]: r for r in latest_snapshot(pages).collect()}
+    assert len(out) == 3
+    assert bytes(out["u1"]["html"]) == b"new" and out["u1"]["text"] == "v3"
+    assert bytes(out["u2"]["html"]) == b"only"
+    # tie on ts: greatest remaining tuple wins (deterministic)
+    assert bytes(out["u3"]["html"]) == b"b"
+    # plan: one exchange (the key shuffle), no window sort
+    plan = latest_snapshot(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
