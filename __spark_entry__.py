@@ -31,7 +31,6 @@ from tesseract_rs_spark.functions.events import (
     user_sessions,
     sessionize,
     sliding_counts,
-    top_type_per_hour,
     tumbling_counts,
 )
 from tesseract_rs_spark.functions.relational import (
@@ -114,38 +113,6 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 # correctness queries (driver runs these at sf0.01 vs the DuckDB oracles)
 # ---------------------------------------------------------------------------
-
-
-def _q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages = pages_from_documents(_docs(spark, sf_dir), para_words=PARA_WORDS)
-    return extract_text(pages, id_cols=("doc_id",)).select("doc_id", "text", "status")
-
-
-def _q_extract_text_single(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages = pages_from_documents(_docs(spark, sf_dir), para_words=_SINGLE_PARA)
-    return extract_text(pages, id_cols=("doc_id",)).select("doc_id", "text")
-
-
-def _q_extract_words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages = pages_from_documents(_docs(spark, sf_dir), para_words=PARA_WORDS)
-    return extract_words(pages, id_cols=("doc_id",)).select(
-        "doc_id", "block_id", "line_id", "word_id", "word"
-    )
-
-
-def _q_extract_word_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """is_at_beginning_of / is_at_final_element surface: per-word
-    line/block/document start/end booleans (page-iterator position
-    predicates) — closed-form from the paragraph layout."""
-    from tesseract_rs_spark.operators.assemble import position_flags
-
-    pages = pages_from_documents(_docs(spark, sf_dir), para_words=PARA_WORDS)
-    words = extract_words(pages, id_cols=("doc_id",))
-    return position_flags(words, key="doc_id").select(
-        "doc_id", "block_id", "line_id", "word_id",
-        "is_line_start", "is_line_end", "is_block_start", "is_block_end",
-        "is_doc_start", "is_doc_end",
-    )
 
 
 def _q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -540,25 +507,10 @@ def _q_ocr_text(spark, sf_dir):
     return ocr_text(pages, id_cols=("doc_id",)).select("doc_id", "text", "status")
 
 
-def _q_ocr_words(spark, sf_dir):
-    pages = raster_pages_from_documents(_docs(spark, sf_dir), WPL, LPP)
-    return ocr_words(pages, id_cols=("doc_id",)).select(
-        "doc_id", "para_id", "line_id", "word_id", "word",
-        "left", "top", "right", "bottom", "baseline_y",
-    )
-
-
 def _q_ocr_metrics(spark, sf_dir):
     pages = raster_pages_from_documents(_docs(spark, sf_dir), WPL, LPP)
     return ocr_text(pages, id_cols=("doc_id",)).select(
         "doc_id", "status", "orientation_deg", "n_components", "n_words"
-    )
-
-
-def _q_ocr_symbols(spark, sf_dir):
-    pages = raster_pages_from_documents(_docs(spark, sf_dir), WPL, LPP)
-    return ocr_symbols(pages, id_cols=("doc_id",)).select(
-        "doc_id", "para_id", "line_id", "word_id", "symbol_id", "glyph"
     )
 
 
@@ -682,17 +634,6 @@ def _q_ocr_symbol_attrs(spark, sf_dir):
     return ocr_symbol_attrs(pages, id_cols=("doc_id",)).select(
         "doc_id", "para_id", "word_id", "symbol_id", "glyph",
         "is_superscript", "is_subscript", "is_dropcap",
-    )
-
-
-def _q_ocr_font_attrs(spark, sf_dir):
-    """word_font_attributes (/root/reference/src/result_iterator.rs:96-138):
-    NULL style booleans by contract, pointsize from glyph-cell height."""
-    pages = raster_pages_from_documents(_docs(spark, sf_dir), WPL, LPP)
-    words = ocr_words(pages, id_cols=("doc_id",))
-    return word_font_attributes(words).select(
-        "doc_id", "para_id", "line_id", "word_id", "word",
-        "is_bold", "is_italic", "is_monospace", "pointsize", "font_id",
     )
 
 
@@ -1108,10 +1049,6 @@ def _q_media_decode(spark, sf_dir):
     )
 
 
-def _q_events_tumbling(spark, sf_dir):
-    return tumbling_counts(_events(spark, sf_dir))
-
-
 def _q_events_sessionize(spark, sf_dir):
     return sessionize(_events(spark, sf_dir)).withColumn(
         "user_id", F.col("user_id").cast("long")
@@ -1152,14 +1089,6 @@ def _q_events_asof(spark, sf_dir):
     from tesseract_rs_spark.functions.events import attribute_purchases
 
     return attribute_purchases(_events(spark, sf_dir))
-
-
-def _q_events_sliding(spark, sf_dir):
-    return sliding_counts(_events(spark, sf_dir))
-
-
-def _q_events_top_type(spark, sf_dir):
-    return top_type_per_hour(_events(spark, sf_dir))
 
 
 def _q_events_interval_join(spark, sf_dir):
@@ -3207,6 +3136,14 @@ def oracle_sql() -> dict[str, str]:
 
     def sub(name: str) -> str:
         return f"({o[name]})"
+
+    # extract_words = the word-flags oracle + the word text itself; the
+    # marker must match exactly once or the composition silently loses the
+    # column (surfacing only as a far-away driver schema mismatch)
+    assert o["extract_word_flags"].count("AS word_id,") == 1, (
+        "extract_word_flags oracle changed: update the extract_words "
+        "composition marker"
+    )
 
     return {
         # --- HTML extraction path ---

@@ -36,23 +36,34 @@ def latest_snapshot(
     """Snapshot dedup for re-crawled pages: keep each url's LATEST crawl
     (the standard first step of a Common-Crawl-style pipeline — the same
     page appears once per crawl with a new ``warc_ts``).  Ties on the
-    timestamp break deterministically by the greatest remaining column
-    tuple, so the survivor is partition-order-independent.
+    timestamp break deterministically by the greatest tuple of the
+    remaining ORDERABLE columns, so the survivor is
+    partition-order-independent (rows identical on every orderable
+    column but differing in an unorderable one — e.g. a map — are true
+    residual ties and the pick among them is engine-chosen).
 
     Scale shape: ONE key shuffle with map-side partial aggregation —
-    ``max_by``-style max(struct(ts, payload)) per key, no window sort and
-    no second pass; the payload rides inside the aggregate struct, so at
-    100 TB the exchange carries each key once per map partition."""
+    ``max_by(payload_struct, ordering_struct)`` per key, no window sort
+    and no second pass; the payload rides inside the aggregate value, so
+    at 100 TB the exchange carries each key once per map partition.
+    The ordering struct holds only orderable columns (maps etc. are
+    payload-only), so WARC-style schemas with header maps work."""
+    from pyspark.sql.types import MapType
+
     others = [c for c in pages.columns if c != key_col]
-    packed = F.max(F.struct(*[F.col(ts_col)] + [
-        F.col(c) for c in others if c != ts_col
-    ])).alias("_s")
-    kept = pages.groupBy(key_col).agg(packed)
-    cols = [F.col(key_col)] + [
-        F.col(f"_s.{c}" if c != ts_col else f"_s.{ts_col}").alias(c)
-        for c in others
-    ]
-    return kept.select(*cols)
+    unorderable = {
+        f.name for f in pages.schema.fields if isinstance(f.dataType, MapType)
+    }
+    ordering = F.struct(
+        F.col(ts_col),
+        *[F.col(c) for c in others if c != ts_col and c not in unorderable],
+    )
+    kept = pages.groupBy(key_col).agg(
+        F.max_by(F.struct(*[F.col(c) for c in others]), ordering).alias("_s")
+    )
+    return kept.select(
+        F.col(key_col), *[F.col(f"_s.{c}").alias(c) for c in others]
+    )
 
 
 def curate(

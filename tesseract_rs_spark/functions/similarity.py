@@ -408,8 +408,10 @@ def ann_ivf_topk(
         cents = ivf_centroids_kmeans(
             corpus, n_centroids, id_col=id_col, vec_col=vec_col
         )
-    else:
+    elif train == "ids":
         cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    else:
+        raise ValueError(f"train must be 'ids' or 'kmeans', got {train!r}")
     c_cells = ivf_assign(corpus, cents, 1, id_col, vec_col).withColumnRenamed(
         id_col, "neighbor_id"
     )

@@ -82,29 +82,6 @@ def run_checkpointed(
     """
     cfg = cfg or ExtractConfig()
     os.makedirs(os.path.join(out_dir, LINEAGE_DIR), exist_ok=True)
-    # Stage the bucketed input ONCE, partitioned by bucket (the parquet
-    # stand-in for an Iceberg table partitioned on the bucket key).  The
-    # old code filtered each group on a COMPUTED xxhash64 column, which
-    # prunes nothing at the file level: with n_buckets/group_size groups
-    # the job read the whole input that many times — 300 TB of wasted
-    # scan at 100 TB (VERDICT r3 #4).  After staging, `bucket` is a
-    # partition column, so each group's filter prunes to its own files
-    # (asserted via input_file_name in tests): total input reads = 1
-    # staging scan + 1 partition-pruned read per bucket, independent of
-    # group count; a crash mid-stage leaves no _SUCCESS and restages.
-    staged_dir = os.path.join(out_dir, STAGED_DIR)
-    if not os.path.exists(os.path.join(staged_dir, "_SUCCESS")):
-        (
-            pages.withColumn(
-                "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
-            )
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(staged_dir)
-        )
-    bucketed = spark.read.parquet(staged_dir).withColumn(
-        "bucket", F.col("bucket").cast("int")
-    )
     done = completed_buckets(out_dir)
     pending = [b for b in range(n_buckets) if b not in done]
     # A crash between the data append and the lineage commit leaves orphan
@@ -115,6 +92,55 @@ def run_checkpointed(
         orphan = os.path.join(out_dir, DATA_DIR, f"bucket={b}")
         if os.path.isdir(orphan):
             shutil.rmtree(orphan)
+    # Stage the bucketed input ONCE, partitioned by bucket (the parquet
+    # stand-in for an Iceberg table partitioned on the bucket key).  The
+    # old code filtered each group on a COMPUTED xxhash64 column, which
+    # prunes nothing at the file level: with n_buckets/group_size groups
+    # the job read the whole input that many times — 300 TB of wasted
+    # scan at 100 TB (VERDICT r3 #4).  After staging, `bucket` is a
+    # partition column, so each group's filter prunes to its own files
+    # (asserted via input_file_name in tests): total input reads = 1
+    # staging scan + 1 partition-pruned read per bucket, independent of
+    # group count; a crash mid-stage leaves no _SUCCESS and restages.
+    # The staged copy is the job's input SNAPSHOT: a resume processes it,
+    # not a refreshed `pages` (consistency across the crash boundary) —
+    # send changed input to a fresh out_dir.  A sidecar meta file records
+    # n_buckets: resuming with a different bucketing would silently
+    # orphan staged buckets outside range(n_buckets), so it is an error.
+    # The snapshot is deleted once every bucket has committed (it would
+    # otherwise double the job's storage footprint forever).
+    staged_dir = os.path.join(out_dir, STAGED_DIR)
+    meta_path = os.path.join(out_dir, STAGED_DIR + "_meta.json")
+    bucketed = None
+    if pending:
+        staged_ok = os.path.exists(os.path.join(staged_dir, "_SUCCESS"))
+        meta = None
+        if staged_ok and os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        if staged_ok and meta is not None:
+            if meta.get("n_buckets") != n_buckets:
+                raise ValueError(
+                    f"resume with n_buckets={n_buckets} against a staged "
+                    f"snapshot bucketed at n_buckets={meta.get('n_buckets')} "
+                    f"({staged_dir}): buckets would be silently dropped. "
+                    "Resume with the original n_buckets or use a fresh "
+                    "out_dir."
+                )
+        else:
+            (
+                pages.withColumn(
+                    "bucket",
+                    F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"),
+                )
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(staged_dir)
+            )
+            _atomic_write_json(meta_path, {"n_buckets": n_buckets})
+        bucketed = spark.read.parquet(staged_dir).withColumn(
+            "bucket", F.col("bucket").cast("int")
+        )
     groups = [pending[i : i + group_size] for i in range(0, len(pending), group_size)]
     for group in groups:
         if fail_buckets and set(group) & set(fail_buckets):
@@ -173,6 +199,11 @@ def run_checkpointed(
         for b in group:
             if b not in seen:
                 _commit_lineage_empty(out_dir, b, wall, len(group))
+    if pending:
+        # every bucket committed: the input snapshot has no consumer left
+        shutil.rmtree(staged_dir, ignore_errors=True)
+        if os.path.exists(meta_path):
+            os.remove(meta_path)
     return spark.read.parquet(os.path.join(out_dir, DATA_DIR))
 
 

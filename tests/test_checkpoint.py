@@ -109,20 +109,32 @@ class TestBucketing:
             spark.sql("DROP TABLE IF EXISTS ord_b")
 
 
-def test_resume_scan_prunes_to_group_partitions(spark, pages_path, tmp_path):
-    """VERDICT r3 scan fix: per-group reads must NOT rescan the whole
-    input.  After the one-time staging write, `bucket` is a partition
-    column, so a group filter prunes at the file level — every file the
-    group's scan touches lives under that group's bucket= directories —
-    and resume reuses the staged copy instead of re-deriving the input."""
+def test_staging_prunes_mismatches_and_cleans_up(spark, pages_path, tmp_path):
+    """VERDICT r3 scan fix + review hardening: per-group reads must NOT
+    rescan the whole input (the staged `bucket` partition column prunes
+    at the file level); resuming against a snapshot staged with a
+    DIFFERENT n_buckets is an error (buckets would silently vanish), and
+    the snapshot is deleted once every bucket commits (it would otherwise
+    double the job's storage footprint forever)."""
+    import json
+
     import pyspark.sql.functions as F
 
     from tesseract_rs_spark.plans.checkpoint import STAGED_DIR
 
     pages = spark.read.parquet(pages_path)
     out = str(tmp_path / "out3")
-    run_checkpointed(spark, pages, out, ExtractConfig(), n_buckets=4, group_size=2)
-    staged = spark.read.parquet(os.path.join(out, STAGED_DIR))
+    # crash mid-run: the staged snapshot must exist for the resume
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_checkpointed(
+            spark, pages, out, ExtractConfig(),
+            n_buckets=4, group_size=2, fail_buckets={3},
+        )
+    staged_path = os.path.join(out, STAGED_DIR)
+    assert os.path.exists(os.path.join(staged_path, "_SUCCESS"))
+    with open(os.path.join(out, STAGED_DIR + "_meta.json")) as f:
+        assert json.load(f)["n_buckets"] == 4
+    staged = spark.read.parquet(staged_path)
     files = (
         staged.filter(F.col("bucket").isin([0, 1]))
         .select(F.input_file_name().alias("f"))
@@ -132,7 +144,21 @@ def test_resume_scan_prunes_to_group_partitions(spark, pages_path, tmp_path):
     assert files
     for r in files:
         assert ("bucket=0" in r["f"]) or ("bucket=1" in r["f"]), r["f"]
-    # staging happens exactly once: a rerun (full resume) must reuse it
-    mtime = os.path.getmtime(os.path.join(out, STAGED_DIR, "_SUCCESS"))
-    run_checkpointed(spark, pages, out, ExtractConfig(), n_buckets=4, group_size=2)
-    assert os.path.getmtime(os.path.join(out, STAGED_DIR, "_SUCCESS")) == mtime
+    # resuming with a different bucketing must refuse, not drop buckets
+    with pytest.raises(ValueError, match="n_buckets"):
+        run_checkpointed(
+            spark, pages, out, ExtractConfig(), n_buckets=8, group_size=2
+        )
+    # correct resume completes and removes the snapshot + its meta
+    result = run_checkpointed(
+        spark, pages, out, ExtractConfig(), n_buckets=4, group_size=2
+    )
+    assert not os.path.exists(staged_path)
+    assert not os.path.exists(os.path.join(out, STAGED_DIR + "_meta.json"))
+    single = extract_text(pages, ExtractConfig())
+    assert _as_sorted_pandas(result).equals(_as_sorted_pandas(single))
+    # a rerun with everything committed is a no-op read (no restaging)
+    run_checkpointed(
+        spark, pages, out, ExtractConfig(), n_buckets=4, group_size=2
+    )
+    assert not os.path.exists(staged_path)

@@ -852,8 +852,15 @@ def test_latest_snapshot_keeps_newest_crawl(spark):
     assert len(out) == 3
     assert bytes(out["u1"]["html"]) == b"new" and out["u1"]["text"] == "v3"
     assert bytes(out["u2"]["html"]) == b"only"
-    # tie on ts: greatest remaining tuple wins (deterministic)
+    # tie on ts: greatest remaining orderable tuple wins (deterministic)
     assert bytes(out["u3"]["html"]) == b"b"
     # plan: one exchange (the key shuffle), no window sort
     plan = latest_snapshot(pages)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
+    # WARC-style schemas carry map columns (http headers): they must ride
+    # as payload without breaking the ordering (maps are not orderable)
+    with_map = pages.withColumn(
+        "headers", F.create_map(F.lit("k"), F.col("text"))
+    )
+    out_m = {r["url"]: r for r in latest_snapshot(with_map).collect()}
+    assert out_m["u1"]["headers"] == {"k": "v3"}
