@@ -122,3 +122,32 @@ def test_split_oversized(spark, corpus_dirs):
     # extraction over the union matches straight extraction
     merged = extract_text(normal.unionByName(oversized)).count()
     assert merged == 64
+
+
+def test_extract_text_hot_path_plan(spark, corpus_dirs):
+    """The 100 TB hot-path plan contract: scan -> fused MapInPandas with
+    ZERO exchanges (the only shuffle in the whole job is whatever the
+    caller aggregates afterwards), and column pruning must reach the
+    parquet scan — a projection of (url, text, status) needs only
+    (url, html) read."""
+    pages_dir, _ = corpus_dirs
+    pages = spark.read.parquet(pages_dir)
+    out = extract_text(pages, ExtractConfig(), id_cols=("url",)).select(
+        "url", "text", "status"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    # pruned scan: html+url only — text/lang/warc_ts never leave parquet
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    formatted = buf.getvalue()
+    read_schema = [l for l in formatted.splitlines() if "ReadSchema" in l]
+    assert read_schema, formatted
+    assert "html" in read_schema[0] and "url" in read_schema[0]
+    for unused in ("warc_ts", "lang"):
+        assert unused not in read_schema[0], read_schema[0]
