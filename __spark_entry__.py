@@ -1318,12 +1318,31 @@ def _q_fingerprint_m(spark, sf_dir):
 
 
 def _q_text_cleaning_m(spark, sf_dir):
-    """PII scrub + URL normalization + benchmark-contamination counts,
-    one row per doc."""
+    """PII scrub + URL normalization + benchmark-contamination counts +
+    Dolma-style host-level stats (each doc annotated with its domain's
+    doc count and token total — the domain-filtering join), one row per
+    doc.  Hosts are synthesized as doc_id % 7 subdomains so the per-host
+    aggregates are non-trivial."""
+    from tesseract_rs_spark.functions.cleaning import host_stats
+    from tesseract_rs_spark.functions.text import token_count
+
     p = _q_pii_scrub(spark, sf_dir)
     u = _q_url_normalize(spark, sf_dir)
     c = _q_contamination(spark, sf_dir)
-    return p.join(u, "doc_id").join(c, "doc_id")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://host"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        token_count().alias("n_tokens"),
+    )
+    h = host_stats(docs, token_col="n_tokens").select(
+        "doc_id", "host", "host_n_docs", "host_total_tokens"
+    )
+    return p.join(u, "doc_id").join(c, "doc_id").join(h, "doc_id")
 
 
 def _q_dedup_summary_m(spark, sf_dir):
@@ -3269,11 +3288,26 @@ def oracle_sql() -> dict[str, str]:
         JOIN {sub("simhash")} h USING (doc_id)
         """,
         "text_cleaning": f"""
+        WITH hosts AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 'host' || CAST(CAST(doc_id AS BIGINT) % 7 AS VARCHAR)
+                   || '.example.org' AS host,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        per_host AS (
+          SELECT host, CAST(count(*) AS BIGINT) AS host_n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS host_total_tokens
+          FROM hosts GROUP BY host
+        )
         SELECT p.doc_id, p.clean_text, p.n_pii, u.url_norm,
-               c.n_shingles, c.n_contaminated
+               c.n_shingles, c.n_contaminated,
+               h.host, ph.host_n_docs, ph.host_total_tokens
         FROM {sub("pii_scrub")} p
         JOIN {sub("url_normalize")} u USING (doc_id)
         JOIN {sub("contamination")} c USING (doc_id)
+        JOIN hosts h USING (doc_id)
+        JOIN per_host ph USING (host)
         """,
         # --- dedup ---
         "dedup_summary": f"""

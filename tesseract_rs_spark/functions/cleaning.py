@@ -66,6 +66,32 @@ def latest_snapshot(
     )
 
 
+def host_stats(
+    docs: DataFrame,
+    url_col: str = "url",
+    token_col: str | None = None,
+) -> DataFrame:
+    """Domain-level aggregation for host-based filtering (the Dolma /
+    RefinedWeb pattern — public: domain blocklists and per-domain quality
+    gates need each document annotated with its host's corpus-wide
+    statistics).  Adds (host, host_n_docs[, host_total_tokens]) to every
+    row: host = lowercased authority parsed from the url, aggregated per
+    host, then joined back.
+
+    Scale shape: the host table is ~|registered domains| (millions, not
+    trillions) built with ONE map-side-combining groupBy; the join back
+    is keyed by host — big crawls have heavy-hitter hosts, which is the
+    AQE skew-join case (enabled in session defaults), and the join
+    carries only the host key + a couple of counters per row."""
+    host = F.lower(F.regexp_extract(F.col(url_col), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)", 1))
+    with_host = docs.withColumn("host", host)
+    aggs = [F.count("*").alias("host_n_docs")]
+    if token_col is not None:
+        aggs.append(F.sum(F.col(token_col)).alias("host_total_tokens"))
+    per_host = with_host.groupBy("host").agg(*aggs)
+    return with_host.join(per_host, "host")
+
+
 def curate(
     docs: DataFrame,
     id_col: str = "doc_id",

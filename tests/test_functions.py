@@ -864,3 +864,27 @@ def test_latest_snapshot_keeps_newest_crawl(spark):
     )
     out_m = {r["url"]: r for r in latest_snapshot(with_map).collect()}
     assert out_m["u1"]["headers"] == {"k": "v3"}
+
+
+def test_host_stats_annotation(spark):
+    """Each doc carries its host's corpus-wide aggregates; hosts parse
+    case-insensitively from the url authority; docs without a parseable
+    host group under the empty host rather than disappearing."""
+    from tesseract_rs_spark.functions.cleaning import host_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://A.example.org/x", 10),
+            (2, "https://a.example.org/y", 20),
+            (3, "http://b.example.org/z", 5),
+            (4, "not-a-url", 7),
+        ],
+        "doc_id long, url string, n_tokens long",
+    )
+    out = {r["doc_id"]: r for r in host_stats(docs, token_col="n_tokens").collect()}
+    assert len(out) == 4
+    assert out[1]["host"] == "a.example.org"
+    assert out[1]["host_n_docs"] == 2 and out[1]["host_total_tokens"] == 30
+    assert out[2]["host_n_docs"] == 2
+    assert out[3]["host_n_docs"] == 1 and out[3]["host_total_tokens"] == 5
+    assert out[4]["host"] == "" and out[4]["host_n_docs"] == 1
