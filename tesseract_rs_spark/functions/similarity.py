@@ -447,6 +447,88 @@ def ann_ivf_topk(
     )
 
 
+def embedding_dup_pairs_ivf(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train: str = "kmeans",
+) -> DataFrame:
+    """SemDeDup-style near-dup pairs (Abbas et al. 2023, public): cluster
+    the embedding space with the IVF coarse quantizer, mine candidate
+    pairs WITHIN each cell, verify with the exact cosine.  This is the
+    low-threshold scale path the LSH auto-param guard routes to
+    (VERDICT r3 #4): per-vector cost is one cell id — candidate volume
+    is bounded by the cell sizes (~n/nlist each, chunked further by
+    guarded_pair_join), never the all-pairs product that low-threshold
+    LSH amplification degenerates into.
+
+    By design recall is within-cell: a pair straddling a cell boundary is
+    missed — the standard SemDeDup tradeoff (duplicates are near-parallel
+    vectors, so they quantize together except exactly at boundaries).
+    Exact duplicates always share a cell.  For guaranteed recall at high
+    thresholds use :func:`embedding_dup_pairs` (LSH + exact verify)."""
+    from tesseract_rs_spark.functions.dedup import guarded_pair_join
+
+    if train == "kmeans":
+        cents = ivf_centroids_kmeans(
+            corpus, n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    elif train == "ids":
+        cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    else:
+        raise ValueError(f"train must be 'ids' or 'kmeans', got {train!r}")
+    cells = ivf_assign(corpus, cents, 1, id_col, vec_col)
+    cand = guarded_pair_join(cells, ["cell"], id_col)
+    a = corpus.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_av"),
+        _norm(F.col(vec_col)).alias("_an"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_bv"),
+        _norm(F.col(vec_col)).alias("_bn"),
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("_cos", _dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn")))
+        .filter(F.col("_cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train: str = "kmeans",
+) -> DataFrame:
+    """End-to-end SemDeDup: cell-bucketed near-dup pairs -> connected
+    components over the pair graph (chains collapse into ONE cluster) ->
+    keep the minimum-id survivor per component.  Returns the surviving
+    rows of ``corpus`` unchanged.
+
+    Scale shape: inherits :func:`embedding_dup_pairs_ivf`'s bounded
+    candidate volume; the component pass is the edge-list-only pointer
+    jumping of ``dedup.dup_clusters``; the final filter is an id
+    anti-join (8-byte keys)."""
+    from tesseract_rs_spark.functions.dedup import dup_clusters
+
+    pairs = embedding_dup_pairs_ivf(
+        corpus, threshold, n_centroids, id_col, vec_col, train
+    )
+    clusters = dup_clusters(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return corpus.join(losers, id_col, "left_anti")
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

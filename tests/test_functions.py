@@ -888,3 +888,43 @@ def test_host_stats_annotation(spark):
     assert out[2]["host_n_docs"] == 2
     assert out[3]["host_n_docs"] == 1 and out[3]["host_total_tokens"] == 5
     assert out[4]["host"] == "" and out[4]["host_n_docs"] == 1
+
+
+def test_semantic_dedup_end_to_end(spark, emb):
+    """SemDeDup composition: planted exact-duplicate vectors (including a
+    chain a~b~c via identical copies) quantize into the same cell, the
+    pair graph collapses per component, and only the minimum id survives;
+    non-duplicate vectors are untouched."""
+    from tesseract_rs_spark.functions.similarity import (
+        embedding_dup_pairs_ivf,
+        semantic_dedup,
+    )
+
+    base = emb.limit(20)
+    d1 = base.filter(F.col("vec_id") == 0).withColumn(
+        "vec_id", F.lit(100000).cast("long")
+    )
+    d2 = base.filter(F.col("vec_id") == 0).withColumn(
+        "vec_id", F.lit(100001).cast("long")
+    )
+    d3 = base.filter(F.col("vec_id") == 3).withColumn(
+        "vec_id", F.lit(100002).cast("long")
+    )
+    corpus = base.unionByName(d1).unionByName(d2).unionByName(d3)
+    n_base = base.count()
+    # exact copies always share a cell -> all planted pairs recovered
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs_ivf(
+            corpus, threshold=0.999, n_centroids=4
+        ).collect()
+    }
+    assert {(0, 100000), (0, 100001), (100000, 100001), (3, 100002)} <= pairs
+    survivors = semantic_dedup(corpus, threshold=0.999, n_centroids=4)
+    ids = {r["vec_id"] for r in survivors.collect()}
+    assert survivors.count() == n_base
+    assert {100000, 100001, 100002}.isdisjoint(ids)
+    assert {0, 3} <= ids
+    # unknown codebook mode rejected
+    with pytest.raises(ValueError, match="train"):
+        embedding_dup_pairs_ivf(corpus, train="typo")
