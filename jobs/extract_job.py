@@ -11,7 +11,9 @@ input, language, PSM, output-format selection) as a cluster job:
 With ``--checkpoint-dir`` the job runs the per-bucket lineage commit
 protocol and RESUMES after interruption (north rule: resumable from
 checkpoint with per-partition lineage + metrics).  Without it, one fused
-pass writes straight to ``--output``.
+pass writes straight to ``--output``.  ``--curate`` appends the one-pass
+curation stage (quality + language filter + exact keep-first dedup) to
+the extracted text before writing.
 """
 
 from __future__ import annotations
@@ -45,6 +47,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--group-size", type=int, default=8)
+    p.add_argument("--curate", action="store_true",
+                   help="run the one-pass curation stage (quality + language "
+                        "filter + exact keep-first dedup) over the extracted "
+                        "text before writing (text format only)")
+    p.add_argument("--min-quality", type=int, default=55)
+    p.add_argument("--keep-langs", default="en",
+                   help="comma-separated language codes curation keeps")
     p.add_argument("--master", default=None, help="override master URL (tests)")
     return p
 
@@ -63,6 +72,9 @@ def main(argv=None) -> int:
     )
     from tesseract_rs_spark.plans.checkpoint import read_lineage, run_checkpointed
 
+    # when invoked inside an existing session (tests / notebooks), reuse
+    # it and leave it running — stop() below only owns what it created
+    pre_existing = SparkSession.getActiveSession() is not None
     if args.master:
         from tesseract_rs_spark.session import get_spark
 
@@ -84,6 +96,26 @@ def main(argv=None) -> int:
     if args.blacklist:
         cfg = cfg.with_variable("tessedit_char_blacklist", args.blacklist)
 
+    def maybe_curate(extracted):
+        """--curate: flatten the extracted text and run the one-pass
+        curation stage (quality + language filter + exact keep-first
+        dedup, one digest exchange) keyed by url."""
+        if not args.curate:
+            return extracted
+        import pyspark.sql.functions as F
+
+        from tesseract_rs_spark.functions.cleaning import curate
+
+        flat = extracted.filter(F.col("status") == "ok").withColumn(
+            "text", F.trim(F.regexp_replace("text", "\n+", " "))
+        )
+        return curate(
+            flat,
+            id_col="url",
+            min_quality=args.min_quality,
+            keep_langs=tuple(args.keep_langs.split(",")),
+        )
+
     pages = spark.read.parquet(args.input)
     t0 = time.time()
     if args.checkpoint_dir:
@@ -95,7 +127,7 @@ def main(argv=None) -> int:
             n_buckets=args.n_buckets,
             group_size=args.group_size,
         )
-        result.write.mode("overwrite").parquet(args.output)
+        maybe_curate(result).write.mode("overwrite").parquet(args.output)
         lineage = read_lineage(args.checkpoint_dir)
         summary = {
             "buckets": len(lineage),
@@ -106,7 +138,7 @@ def main(argv=None) -> int:
         if args.payload == "raster":
             out = ocr_text(pages, cfg)
         elif args.output_format == "text":
-            out = extract_text(pages, cfg)
+            out = maybe_curate(extract_text(pages, cfg))
         else:
             words = extract_words(pages, cfg)
             out = {
@@ -119,7 +151,8 @@ def main(argv=None) -> int:
         summary = {"rows": spark.read.parquet(args.output).count()}
     summary["wall_s"] = round(time.time() - t0, 2)
     print(json.dumps(summary))
-    spark.stop()
+    if not pre_existing:
+        spark.stop()
     return 0
 
 

@@ -60,3 +60,38 @@ def test_spark_submit_py_files(tmp_path):
         """
     ).fetchone()[0]
     assert n == 64
+
+
+def test_cli_curate_stage(tmp_path, spark):
+    """--curate runs the one-pass curation stage after extraction: output
+    carries the curation columns, drops non-ok rows, and exact-dedups."""
+    sys.path.insert(0, REPO)
+    import importlib
+
+    from tesseract_rs_spark.corpus import make_corpus
+
+    extract_job = importlib.import_module("jobs.extract_job")
+    pages, _ = make_corpus("smoke")
+    pages_path = str(tmp_path / "pages.parquet")
+    pages.to_parquet(
+        pages_path, coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+    out = str(tmp_path / "out")
+    rc = extract_job.main(
+        [
+            "--input", pages_path,
+            "--output", out,
+            "--output-format", "text",
+            "--curate", "--min-quality", "0",
+            "--keep-langs", "en,de,fr,es",
+            "--master", "4",
+        ]
+    )
+    assert rc == 0
+    res = spark.read.parquet(out)
+    cols = set(res.columns)
+    assert {"url", "text", "quality", "lang_pred", "fingerprint"} <= cols
+    n = res.count()
+    assert 0 < n <= 64
+    # exact dedup: one row per distinct fingerprint
+    assert res.select("fingerprint").distinct().count() == n
