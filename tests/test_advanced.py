@@ -408,3 +408,55 @@ class TestWatermarkLateData:
         # hour 08's window never finalized (watermark stopped at 06:00)
         assert ("2026-01-01 08", "click") not in got
         assert len(got) == 4
+
+
+class TestStreamCuration:
+    """Ingest-time curation == batch curation on the surviving-digest
+    invariant (one survivor per distinct passing text; batch keeps min-id,
+    the stream keeps first-arrival — the digest set is what both share)."""
+
+    def test_stream_curate_equals_batch_digests(self, spark, tmp_path):
+        import pyspark.sql.functions as F2
+
+        from tesseract_rs_spark.corpus import make_corpus
+        from tesseract_rs_spark.functions.cleaning import curate
+        from tesseract_rs_spark.operators.extract import extract_text as bx
+        from tesseract_rs_spark.streaming.curation import stream_curate
+
+        inp, out, ckpt = (
+            str(tmp_path / "in"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )
+        pages, _ = make_corpus("smoke")
+        spark.createDataFrame(pages).write.parquet(inp)
+        q = stream_curate(
+            spark, inp, out, ckpt, min_quality=0,
+            keep_langs=("en", "de", "fr", "es"),
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        assert {"url", "text", "quality", "lang_pred", "fingerprint"} <= set(
+            got.columns
+        )
+        stream_fps = {r["fingerprint"] for r in got.select("fingerprint").collect()}
+        # batch twin over the same input
+        batch_flat = (
+            bx(spark.read.parquet(inp), id_cols=("url",))
+            .filter(F2.col("status") == "ok")
+            .withColumn("text", F2.trim(F2.regexp_replace("text", "\n+", " ")))
+        )
+        batch = curate(
+            batch_flat, id_col="url", min_quality=0,
+            keep_langs=("en", "de", "fr", "es"),
+        )
+        batch_fps = {r["fingerprint"] for r in batch.select("fingerprint").collect()}
+        assert stream_fps, "curation should keep something from the smoke corpus"
+        assert stream_fps == batch_fps
+        # re-running with no new files appends nothing (exactly-once)
+        q2 = stream_curate(
+            spark, inp, out, ckpt, min_quality=0,
+            keep_langs=("en", "de", "fr", "es"),
+        )
+        q2.awaitTermination(120)
+        assert spark.read.parquet(out).count() == len(stream_fps)
