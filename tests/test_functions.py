@@ -928,3 +928,35 @@ def test_semantic_dedup_end_to_end(spark, emb):
     # unknown codebook mode rejected
     with pytest.raises(ValueError, match="train"):
         embedding_dup_pairs_ivf(corpus, train="typo")
+
+
+def test_latest_snapshot_random_equivalence(spark):
+    """Seeded random crawl (many urls, repeated crawls, timestamp ties):
+    the max_by aggregate must equal the naive pandas ground truth (sort
+    by every orderable column, keep last per url)."""
+    import datetime as dt
+
+    import numpy as np
+
+    from tesseract_rs_spark.functions.cleaning import latest_snapshot
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(400):
+        u = f"u{rng.randint(0, 60)}"
+        ts = dt.datetime(2026, 1, 1) + dt.timedelta(hours=int(rng.randint(0, 8)))
+        rows.append((u, ts, f"v{rng.randint(0, 1000)}"))
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    got = {r["url"]: (r["warc_ts"], r["text"]) for r in latest_snapshot(df).collect()}
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
+    want = (
+        pdf.sort_values(["url", "warc_ts", "text"])
+        .groupby("url")
+        .tail(1)
+        .set_index("url")
+    )
+    assert len(got) == len(want)
+    for u, row in want.iterrows():
+        assert got[u] == (row["warc_ts"].to_pydatetime(), row["text"]), u
