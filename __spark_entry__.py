@@ -1372,15 +1372,18 @@ def _q_ann_topk_m(spark, sf_dir):
 
 
 def _q_ann_ivf_topk(spark, sf_dir):
-    """IVF coarse-quantizer ANN in the full-recall regime (nprobe ==
-    n_centroids probes every cell), so the cell-bucketed result equals
-    the exact top-k and shares its SQL oracle; the approximate regime
-    (nprobe < nlist, recall-gated) is exercised in tests."""
+    """IVF coarse-quantizer ANN with the production-shaped codebook
+    (deterministic spherical k-means on a hash-gated sample) in the
+    full-recall regime (nprobe == n_centroids probes every cell), so the
+    cell-bucketed result equals the exact top-k and shares its SQL oracle
+    for ANY codebook; the approximate regime (nprobe < nlist,
+    recall-gated) is exercised in tests."""
     from tesseract_rs_spark.functions.similarity import ann_ivf_topk
 
     emb = _emb(spark, sf_dir)
     return ann_ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=8, nprobe=8
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=8, nprobe=8,
+        train="kmeans",
     )
 
 
