@@ -185,6 +185,56 @@ def repeated_ngram_spans(
     )
 
 
+def remove_repeated_spans(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", col: str = "text"
+) -> DataFrame:
+    """The SCRUB half of Lee et al. 2022 substring dedup: excise every
+    cross-document repeated n-gram span found by
+    :func:`repeated_ngram_spans` and re-join the surviving tokens.
+    Returns (id, clean_text, n_tokens_removed); docs with no repeated
+    spans pass through unchanged (n_tokens_removed = 0).
+
+    Scale shape: spans per doc collect into ONE small array column
+    (bounded by doc length / n — a handful in practice), the token table
+    left-joins it by id, and membership is an ``exists`` over that array
+    inside whole-stage codegen — no token-level range join; the ordered
+    re-assembly is array_sort over per-doc collect_list (the same ordered
+    rollup idiom as the renderers), never a single-partition window."""
+    spans = repeated_ngram_spans(docs, n, id_col, col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("tok_start", "tok_end")).alias("_spans")
+    )
+    toks = docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(col), " ")).alias("pos", "_w")
+    )
+    tagged = toks.join(per_doc, id_col, "left").withColumn(
+        "_drop",
+        F.when(F.col("_spans").isNull(), F.lit(False)).otherwise(
+            F.exists(
+                "_spans",
+                lambda s: (F.col("pos") >= s["tok_start"])
+                & (F.col("pos") < s["tok_end"]),
+            )
+        ),
+    )
+    return tagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("_drop"), F.struct("pos", F.col("_w").alias("w"))
+                        )
+                    )
+                ),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum(F.col("_drop").cast("long")).alias("n_tokens_removed"),
+    )
+
+
 def pii_scrub(docs: DataFrame, id_col: str = "doc_id", col: str = "text") -> DataFrame:
     """(id, clean_text, n_pii): redact emails / IPv4s / phone numbers with
     typed placeholder tokens and count the redactions.  Chained

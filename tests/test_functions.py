@@ -960,3 +960,26 @@ def test_latest_snapshot_random_equivalence(spark):
     assert len(got) == len(want)
     for u, row in want.iterrows():
         assert got[u] == (row["warc_ts"].to_pydatetime(), row["text"]), u
+
+
+def test_remove_repeated_spans(spark):
+    """The scrub half of substring dedup on the known fixture: shared
+    runs are excised, unique tails survive, untouched docs pass through
+    with zero removals."""
+    from tesseract_rs_spark.functions.cleaning import remove_repeated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e x1 y1 z1 q1 r1"),
+            (2, "a b c d e x2 y2 z2 a b c d e"),
+            (3, "p q r s t u v w"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_repeated_spans(docs, n=3).collect()}
+    assert out[1]["clean_text"] == "x1 y1 z1 q1 r1"
+    assert out[1]["n_tokens_removed"] == 5
+    assert out[2]["clean_text"] == "x2 y2 z2"
+    assert out[2]["n_tokens_removed"] == 10
+    assert out[3]["clean_text"] == "p q r s t u v w"
+    assert out[3]["n_tokens_removed"] == 0
