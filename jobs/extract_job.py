@@ -96,24 +96,31 @@ def main(argv=None) -> int:
     if args.blacklist:
         cfg = cfg.with_variable("tessedit_char_blacklist", args.blacklist)
 
+    if args.curate and (args.payload == "raster" or args.output_format != "text"):
+        # silent no-op would ship uncurated data the user believes is
+        # filtered and deduped — refuse the unsupported combination
+        print(
+            "error: --curate supports --payload html with "
+            "--output-format text only",
+            file=sys.stderr,
+        )
+        return 2
+
     def maybe_curate(extracted):
-        """--curate: flatten the extracted text and run the one-pass
-        curation stage (quality + language filter + exact keep-first
-        dedup, one digest exchange) keyed by url."""
+        """--curate: flatten the extracted text (shared rule) and run the
+        one-pass curation stage (quality + language filter + exact
+        keep-first dedup, one digest exchange) keyed by url."""
         if not args.curate:
             return extracted
-        import pyspark.sql.functions as F
+        from tesseract_rs_spark.functions.cleaning import curate, flatten_extracted
 
-        from tesseract_rs_spark.functions.cleaning import curate
-
-        flat = extracted.filter(F.col("status") == "ok").withColumn(
-            "text", F.trim(F.regexp_replace("text", "\n+", " "))
-        )
         return curate(
-            flat,
+            flatten_extracted(extracted),
             id_col="url",
             min_quality=args.min_quality,
-            keep_langs=tuple(args.keep_langs.split(",")),
+            keep_langs=tuple(
+                s.strip() for s in args.keep_langs.split(",") if s.strip()
+            ),
         )
 
     pages = spark.read.parquet(args.input)
@@ -134,6 +141,10 @@ def main(argv=None) -> int:
             "rows": sum(r["n_rows"] for r in lineage),
             "chars": sum(r["chars_emitted"] for r in lineage),
         }
+        if args.curate:
+            # lineage counts pre-curation extraction; report what was
+            # actually written so the two never read as contradictory
+            summary["rows_written"] = spark.read.parquet(args.output).count()
     else:
         if args.payload == "raster":
             out = ocr_text(pages, cfg)

@@ -46,13 +46,24 @@ def latest_snapshot(
     ``max_by(payload_struct, ordering_struct)`` per key, no window sort
     and no second pass; the payload rides inside the aggregate value, so
     at 100 TB the exchange carries each key once per map partition.
-    The ordering struct holds only orderable columns (maps etc. are
-    payload-only), so WARC-style schemas with header maps work."""
-    from pyspark.sql.types import MapType
+    The ordering struct holds only orderable columns (anything containing
+    a map at ANY nesting level is payload-only), so WARC-style schemas
+    with header maps — including array<map> / struct-with-map shapes —
+    work."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def _orderable(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
 
     others = [c for c in pages.columns if c != key_col]
     unorderable = {
-        f.name for f in pages.schema.fields if isinstance(f.dataType, MapType)
+        f.name for f in pages.schema.fields if not _orderable(f.dataType)
     }
     ordering = F.struct(
         F.col(ts_col),
@@ -83,13 +94,64 @@ def host_stats(
     is keyed by host — big crawls have heavy-hitter hosts, which is the
     AQE skew-join case (enabled in session defaults), and the join
     carries only the host key + a couple of counters per row."""
-    host = F.lower(F.regexp_extract(F.col(url_col), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)", 1))
+    # coalesce to '': a NULL url must group under the empty host like any
+    # other unparseable url — a null-unsafe equi-join back would silently
+    # drop those rows from the corpus (review r4)
+    host = F.coalesce(
+        F.lower(
+            F.regexp_extract(
+                F.col(url_col), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)", 1
+            )
+        ),
+        F.lit(""),
+    )
     with_host = docs.withColumn("host", host)
     aggs = [F.count("*").alias("host_n_docs")]
     if token_col is not None:
         aggs.append(F.sum(F.col(token_col)).alias("host_total_tokens"))
     per_host = with_host.groupBy("host").agg(*aggs)
     return with_host.join(per_host, "host")
+
+
+def flatten_extracted(extracted: DataFrame, col: str = "text") -> DataFrame:
+    """Shared post-extraction normalization before curation: keep ok rows
+    and collapse assembly newlines back to spaces (reconstructing the
+    one-line source text by the assembly contract).  ONE definition used
+    by the batch CLI stage and the streaming pipeline — the flatten rule
+    must never drift between them."""
+    return extracted.filter(F.col("status") == "ok").withColumn(
+        col, F.trim(F.regexp_replace(col, "\n+", " "))
+    )
+
+
+def curation_scored(
+    docs: DataFrame,
+    id_cols: tuple,
+    col: str = "text",
+    min_quality: int = 55,
+    keep_langs: tuple = ("en",),
+) -> DataFrame:
+    """THE curation signal projection + filter — shared by batch
+    :func:`curate` and the streaming twin (``streaming/curation.py``), so
+    the quality gate can never silently diverge between modes: inline
+    (n_tokens, quality, lang_pred) columns in one narrow projection, the
+    filter inside whole-stage codegen before anything shuffles."""
+    from tesseract_rs_spark.functions.text import (
+        lang_pred_expr,
+        quality_expr,
+        token_count,
+    )
+
+    return docs.select(
+        *[F.col(c) for c in id_cols],
+        F.col(col),
+        token_count(col).alias("n_tokens"),
+        quality_expr(col).alias("quality"),
+        lang_pred_expr(col).alias("lang_pred"),
+    ).filter(
+        (F.col("quality") >= min_quality)
+        & F.col("lang_pred").isin(*keep_langs)
+    )
 
 
 def curate(
@@ -107,24 +169,12 @@ def curate(
     the only exchange in the whole job is the digest shuffle of
     :func:`~tesseract_rs_spark.functions.dedup.dedup_keep_first` — over
     the FILTERED survivors only, so low-quality rows never cross the
-    network.  Adds (n_tokens, quality, lang_pred, fingerprint) columns."""
+    network.  Adds (n_tokens, quality, lang_pred, fingerprint) columns.
+    The signal projection is :func:`curation_scored` — shared verbatim
+    with the streaming twin."""
     from tesseract_rs_spark.functions.dedup import dedup_keep_first
-    from tesseract_rs_spark.functions.text import (
-        lang_pred_expr,
-        quality_expr,
-        token_count,
-    )
 
-    scored = docs.select(
-        F.col(id_col),
-        F.col(col),
-        token_count(col).alias("n_tokens"),
-        quality_expr(col).alias("quality"),
-        lang_pred_expr(col).alias("lang_pred"),
-    ).filter(
-        (F.col("quality") >= min_quality)
-        & F.col("lang_pred").isin(*keep_langs)
-    )
+    scored = curation_scored(docs, (id_col,), col, min_quality, keep_langs)
     return dedup_keep_first(scored, id_col=id_col, col=col)
 
 
@@ -217,7 +267,7 @@ def remove_repeated_spans(
             )
         ),
     )
-    return tagged.groupBy(id_col).agg(
+    agg = tagged.groupBy(id_col).agg(
         F.array_join(
             F.transform(
                 F.array_sort(
@@ -232,6 +282,18 @@ def remove_repeated_spans(
             " ",
         ).alias("clean_text"),
         F.sum(F.col("_drop").cast("long")).alias("n_tokens_removed"),
+    )
+    # NULL-text docs emit no token rows and would vanish from the agg:
+    # re-join from the full id set so they pass through (clean_text NULL,
+    # nothing removed) like the sibling cleaning ops (review r4)
+    return (
+        docs.select(F.col(id_col), F.col(col).alias("_orig"))
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", "_orig").alias("clean_text"),
+            F.coalesce("n_tokens_removed", F.lit(0)).alias("n_tokens_removed"),
+        )
     )
 
 

@@ -105,29 +105,30 @@ def run_checkpointed(
     # The staged copy is the job's input SNAPSHOT: a resume processes it,
     # not a refreshed `pages` (consistency across the crash boundary) —
     # send changed input to a fresh out_dir.  A sidecar meta file records
-    # n_buckets: resuming with a different bucketing would silently
-    # orphan staged buckets outside range(n_buckets), so it is an error.
-    # The snapshot is deleted once every bucket has committed (it would
-    # otherwise double the job's storage footprint forever).
+    # n_buckets and OUTLIVES the snapshot: any later invocation against
+    # this out_dir with a different bucketing is an error, both mid-run
+    # (staged buckets outside range(n_buckets) would silently drop) and
+    # after completion (a larger n_buckets would re-derive 'pending'
+    # buckets and append DUPLICATE rows next to the committed ones).
+    # The snapshot itself is deleted once every bucket has committed (it
+    # would otherwise double the job's storage footprint forever).
     staged_dir = os.path.join(out_dir, STAGED_DIR)
     meta_path = os.path.join(out_dir, STAGED_DIR + "_meta.json")
+    meta = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("n_buckets") != n_buckets:
+            raise ValueError(
+                f"this out_dir was bucketed with n_buckets="
+                f"{meta.get('n_buckets')}; running it with n_buckets="
+                f"{n_buckets} would drop or duplicate buckets. Use the "
+                "original n_buckets or a fresh out_dir."
+            )
     bucketed = None
     if pending:
         staged_ok = os.path.exists(os.path.join(staged_dir, "_SUCCESS"))
-        meta = None
-        if staged_ok and os.path.exists(meta_path):
-            with open(meta_path) as f:
-                meta = json.load(f)
-        if staged_ok and meta is not None:
-            if meta.get("n_buckets") != n_buckets:
-                raise ValueError(
-                    f"resume with n_buckets={n_buckets} against a staged "
-                    f"snapshot bucketed at n_buckets={meta.get('n_buckets')} "
-                    f"({staged_dir}): buckets would be silently dropped. "
-                    "Resume with the original n_buckets or use a fresh "
-                    "out_dir."
-                )
-        else:
+        if not (staged_ok and meta is not None):
             (
                 pages.withColumn(
                     "bucket",
@@ -199,11 +200,13 @@ def run_checkpointed(
         for b in group:
             if b not in seen:
                 _commit_lineage_empty(out_dir, b, wall, len(group))
-    if pending:
-        # every bucket committed: the input snapshot has no consumer left
+    # every bucket committed: the input snapshot has no consumer left.
+    # Runs unconditionally (not just when THIS invocation had pending
+    # work) so a crash between the last lineage commit and the cleanup
+    # doesn't orphan the snapshot forever; the meta sidecar stays — it is
+    # the permanent record of this out_dir's bucketing (see guard above).
+    if os.path.isdir(staged_dir):
         shutil.rmtree(staged_dir, ignore_errors=True)
-        if os.path.exists(meta_path):
-            os.remove(meta_path)
     return spark.read.parquet(os.path.join(out_dir, DATA_DIR))
 
 

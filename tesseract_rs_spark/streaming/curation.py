@@ -39,25 +39,17 @@ def curate_stream(
     flatten assembly newlines, score quality/language inline (stateless,
     whole-stage codegen), filter, then watermark-bounded exact dedup on
     the sha256 digest.  Works on batch frames too (minus the watermark
-    semantics) — the signal projection is shared code, not a twin."""
-    from tesseract_rs_spark.functions.text import (
-        lang_pred_expr,
-        quality_expr,
-        token_count,
+    semantics) — the flatten rule and the signal projection ARE the batch
+    code (``cleaning.flatten_extracted`` / ``cleaning.curation_scored``),
+    so the quality gate cannot drift between modes."""
+    from tesseract_rs_spark.functions.cleaning import (
+        curation_scored,
+        flatten_extracted,
     )
 
-    flat = extracted.filter(F.col("status") == "ok").withColumn(
-        "text", F.trim(F.regexp_replace("text", "\n+", " "))
-    )
-    scored = flat.select(
-        "url",
-        F.col(ts_col),
-        "text",
-        token_count("text").alias("n_tokens"),
-        quality_expr("text").alias("quality"),
-        lang_pred_expr("text").alias("lang_pred"),
-    ).filter(
-        (F.col("quality") >= min_quality) & F.col("lang_pred").isin(*keep_langs)
+    flat = flatten_extracted(extracted)
+    scored = curation_scored(
+        flat, ("url", ts_col), "text", min_quality, keep_langs
     )
     return (
         scored.withColumn("fingerprint", F.sha2(F.col("text").cast("binary"), 256))

@@ -149,12 +149,14 @@ def test_staging_prunes_mismatches_and_cleans_up(spark, pages_path, tmp_path):
         run_checkpointed(
             spark, pages, out, ExtractConfig(), n_buckets=8, group_size=2
         )
-    # correct resume completes and removes the snapshot + its meta
+    # correct resume completes and removes the snapshot; the meta sidecar
+    # STAYS as the permanent record of this out_dir's bucketing
     result = run_checkpointed(
         spark, pages, out, ExtractConfig(), n_buckets=4, group_size=2
     )
     assert not os.path.exists(staged_path)
-    assert not os.path.exists(os.path.join(out, STAGED_DIR + "_meta.json"))
+    with open(os.path.join(out, STAGED_DIR + "_meta.json")) as f:
+        assert json.load(f)["n_buckets"] == 4
     single = extract_text(pages, ExtractConfig())
     assert _as_sorted_pandas(result).equals(_as_sorted_pandas(single))
     # a rerun with everything committed is a no-op read (no restaging)
@@ -162,3 +164,9 @@ def test_staging_prunes_mismatches_and_cleans_up(spark, pages_path, tmp_path):
         spark, pages, out, ExtractConfig(), n_buckets=4, group_size=2
     )
     assert not os.path.exists(staged_path)
+    # and re-running a COMPLETED out_dir with a larger n_buckets must
+    # refuse — it would re-derive 'pending' buckets and append duplicates
+    with pytest.raises(ValueError, match="n_buckets"):
+        run_checkpointed(
+            spark, pages, out, ExtractConfig(), n_buckets=8, group_size=2
+        )

@@ -95,3 +95,26 @@ def test_cli_curate_stage(tmp_path, spark):
     assert 0 < n <= 64
     # exact dedup: one row per distinct fingerprint
     assert res.select("fingerprint").distinct().count() == n
+
+
+def test_cli_curate_rejects_unsupported_combination(tmp_path):
+    """--curate with the raster payload (or a non-text format) must refuse
+    rather than silently ship uncurated output (review r4)."""
+    sys.path.insert(0, REPO)
+    import importlib
+
+    extract_job = importlib.import_module("jobs.extract_job")
+    rc = extract_job.main(
+        [
+            "--input", "x", "--output", "y",
+            "--payload", "raster", "--curate", "--master", "2",
+        ]
+    )
+    assert rc == 2
+    rc2 = extract_job.main(
+        [
+            "--input", "x", "--output", "y",
+            "--output-format", "tsv", "--curate", "--master", "2",
+        ]
+    )
+    assert rc2 == 2

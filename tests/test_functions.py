@@ -983,3 +983,53 @@ def test_remove_repeated_spans(spark):
     assert out[2]["n_tokens_removed"] == 10
     assert out[3]["clean_text"] == "p q r s t u v w"
     assert out[3]["n_tokens_removed"] == 0
+
+
+def test_host_stats_null_url_survives(spark):
+    """A NULL url must group under the empty host, not vanish in the
+    null-unsafe join back (review r4)."""
+    from tesseract_rs_spark.functions.cleaning import host_stats
+
+    docs = spark.createDataFrame(
+        [(1, "https://a.example.org/x"), (2, None), (3, "junk")],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r for r in host_stats(docs).collect()}
+    assert len(out) == 3
+    assert out[2]["host"] == "" and out[3]["host"] == ""
+    assert out[2]["host_n_docs"] == 2  # NULL + unparseable share ''
+
+
+def test_latest_snapshot_nested_map_payload(spark):
+    """Maps nested inside arrays/structs are unorderable too — they must
+    ride as payload, not enter the max_by ordering (review r4)."""
+    import datetime as dt
+
+    from tesseract_rs_spark.functions.cleaning import latest_snapshot
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", dt.datetime(2026, 1, 1, 1), [{"k": "old"}]),
+            ("u1", dt.datetime(2026, 1, 1, 2), [{"k": "new"}]),
+        ],
+        "url string, warc_ts timestamp, headers array<map<string,string>>",
+    )
+    out = latest_snapshot(pages).collect()
+    assert len(out) == 1
+    assert out[0]["headers"][0] == {"k": "new"}
+
+
+def test_remove_repeated_spans_null_text_passthrough(spark):
+    """NULL-text docs must pass through (clean_text NULL, zero removed),
+    not disappear from the output (review r4)."""
+    from tesseract_rs_spark.functions.cleaning import remove_repeated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_repeated_spans(docs, n=3).collect()}
+    assert len(out) == 3
+    assert out[3]["clean_text"] is None
+    assert out[3]["n_tokens_removed"] == 0
+    assert out[1]["clean_text"] == "" and out[1]["n_tokens_removed"] == 5
