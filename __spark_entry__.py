@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from tesseract_rs_spark.config import ExtractConfig
@@ -31,6 +31,7 @@ from tesseract_rs_spark.functions.events import (
     user_sessions,
     sessionize,
     sliding_counts,
+    top_type_per_hour,
     tumbling_counts,
 )
 from tesseract_rs_spark.functions.relational import (
@@ -1402,12 +1403,17 @@ def _q_media_stats_m(spark, sf_dir):
 def _q_events_windows_m(spark, sf_dir):
     """Tumbling 1h and sliding 2h/1h windowed counts in one query, tagged
     by kind; tumbling rows carry the cents-exact value sum and an is_top
-    flag (the hour's dominant type — the top-k-per-group operator)."""
+    flag computed by the top_type_per_hour OPERATOR itself (membership
+    join against its winners — not a re-implementation of its ranking,
+    so the operator keeps real driver coverage)."""
     ev = _events(spark, sf_dir)
-    t = tumbling_counts(ev)
-    w = Window.partitionBy("hour").orderBy(F.desc("n"), F.asc("event_type"))
+    winners = top_type_per_hour(ev).select(
+        "hour", "event_type", F.lit(True).alias("is_top")
+    )
     t = (
-        t.withColumn("is_top", F.row_number().over(w) == 1)
+        tumbling_counts(ev)
+        .join(F.broadcast(winners), ["hour", "event_type"], "left")
+        .withColumn("is_top", F.coalesce("is_top", F.lit(False)))
         .withColumnRenamed("hour", "window_start")
         .withColumn("kind", F.lit("tumbling"))
     )
@@ -3161,11 +3167,14 @@ def oracle_sql() -> dict[str, str]:
 
     # extract_words = the word-flags oracle + the word text itself; the
     # marker must match exactly once or the composition silently loses the
-    # column (surfacing only as a far-away driver schema mismatch)
-    assert o["extract_word_flags"].count("AS word_id,") == 1, (
-        "extract_word_flags oracle changed: update the extract_words "
-        "composition marker"
-    )
+    # column (surfacing only as a far-away driver schema mismatch).
+    # Explicit raise, not `assert` — python -O strips asserts and the
+    # driver may run optimized (review r4).
+    if o["extract_word_flags"].count("AS word_id,") != 1:
+        raise RuntimeError(
+            "extract_word_flags oracle changed: update the extract_words "
+            "composition marker"
+        )
 
     return {
         # --- HTML extraction path ---

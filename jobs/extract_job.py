@@ -60,6 +60,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.curate and (args.payload == "raster" or args.output_format != "text"):
+        # validate BEFORE building a session: a silent no-op would ship
+        # uncurated data the user believes is filtered and deduped, and
+        # spinning up (then leaking) a session just to refuse is waste
+        print(
+            "error: --curate supports --payload html with "
+            "--output-format text only",
+            file=sys.stderr,
+        )
+        return 2
     from pyspark.sql import SparkSession
 
     from tesseract_rs_spark.config import ExtractConfig, mode_from_int
@@ -95,16 +105,6 @@ def main(argv=None) -> int:
         cfg = cfg.with_variable("tessedit_char_whitelist", args.whitelist)
     if args.blacklist:
         cfg = cfg.with_variable("tessedit_char_blacklist", args.blacklist)
-
-    if args.curate and (args.payload == "raster" or args.output_format != "text"):
-        # silent no-op would ship uncurated data the user believes is
-        # filtered and deduped — refuse the unsupported combination
-        print(
-            "error: --curate supports --payload html with "
-            "--output-format text only",
-            file=sys.stderr,
-        )
-        return 2
 
     def maybe_curate(extracted):
         """--curate: flatten the extracted text (shared rule) and run the

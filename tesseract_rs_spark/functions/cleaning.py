@@ -36,38 +36,42 @@ def latest_snapshot(
     """Snapshot dedup for re-crawled pages: keep each url's LATEST crawl
     (the standard first step of a Common-Crawl-style pipeline — the same
     page appears once per crawl with a new ``warc_ts``).  Ties on the
-    timestamp break deterministically by the greatest tuple of the
-    remaining ORDERABLE columns, so the survivor is
-    partition-order-independent (rows identical on every orderable
-    column but differing in an unorderable one — e.g. a map — are true
-    residual ties and the pick among them is engine-chosen).
+    timestamp break deterministically by ``xxhash64`` of the remaining
+    HASHABLE columns, so the survivor is partition-order-independent
+    (rows identical on every hashable column are true residual ties and
+    the pick among them is engine-chosen).
 
     Scale shape: ONE key shuffle with map-side partial aggregation —
-    ``max_by(payload_struct, ordering_struct)`` per key, no window sort
-    and no second pass; the payload rides inside the aggregate value, so
-    at 100 TB the exchange carries each key once per map partition.
-    The ordering struct holds only orderable columns (anything containing
-    a map at ANY nesting level is payload-only), so WARC-style schemas
-    with header maps — including array<map> / struct-with-map shapes —
-    work."""
+    ``max_by(payload_struct, (ts, hash))`` per key, no window sort and
+    no second pass; the ordering adds a constant ~16 bytes per row (NOT
+    a second copy of the multi-KB html payload — repeating the payload
+    columns inside an ordering struct would double the aggregate's
+    shuffle bytes), so each row's content crosses the wire exactly once.
+    Columns containing maps at any nesting level are excluded from the
+    hash (xxhash64 rejects them) but still ride as payload, so
+    WARC-style schemas with header maps — including array<map> /
+    struct-with-map shapes — work."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
-    def _orderable(dt) -> bool:
+    def _hashable(dt) -> bool:
         if isinstance(dt, MapType):
             return False
         if isinstance(dt, ArrayType):
-            return _orderable(dt.elementType)
+            return _hashable(dt.elementType)
         if isinstance(dt, StructType):
-            return all(_orderable(f.dataType) for f in dt.fields)
+            return all(_hashable(f.dataType) for f in dt.fields)
         return True
 
     others = [c for c in pages.columns if c != key_col]
-    unorderable = {
-        f.name for f in pages.schema.fields if not _orderable(f.dataType)
+    unhashable = {
+        f.name for f in pages.schema.fields if not _hashable(f.dataType)
     }
+    tiebreak = [
+        F.col(c) for c in others if c != ts_col and c not in unhashable
+    ]
     ordering = F.struct(
         F.col(ts_col),
-        *[F.col(c) for c in others if c != ts_col and c not in unorderable],
+        (F.xxhash64(*tiebreak) if tiebreak else F.lit(0)).alias("_h"),
     )
     kept = pages.groupBy(key_col).agg(
         F.max_by(F.struct(*[F.col(c) for c in others]), ordering).alias("_s")
@@ -94,13 +98,19 @@ def host_stats(
     is keyed by host — big crawls have heavy-hitter hosts, which is the
     AQE skew-join case (enabled in session defaults), and the join
     carries only the host key + a couple of counters per row."""
+    # authority -> host: strip userinfo ('user@') and port (':8443') so
+    # one registered domain never splits into several aggregate groups
+    # (a blocklist keyed on the split counts would mis-fire, review r4);
     # coalesce to '': a NULL url must group under the empty host like any
     # other unparseable url — a null-unsafe equi-join back would silently
-    # drop those rows from the corpus (review r4)
+    # drop those rows from the corpus
+    authority = F.regexp_extract(
+        F.col(url_col), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)", 1
+    )
     host = F.coalesce(
         F.lower(
-            F.regexp_extract(
-                F.col(url_col), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)", 1
+            F.regexp_replace(
+                F.regexp_replace(authority, "^[^@]*@", ""), ":[0-9]+$", ""
             )
         ),
         F.lit(""),

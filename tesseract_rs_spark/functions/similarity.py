@@ -266,6 +266,7 @@ def ivf_centroids(
     nlist × dim floats, broadcast-sized by construction."""
     rows = (
         corpus.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
         .orderBy(F.col(id_col).asc())
         .limit(n_centroids)
         .collect()
@@ -299,6 +300,7 @@ def ivf_centroids_kmeans(
     hash-ordered sample + index-tie-broken argmax, no RNG."""
     rows = (
         corpus.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
         .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
         .limit(sample_size)
         .collect()
@@ -355,6 +357,10 @@ def ivf_assign(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # a NULL embedding has no cell: skip the row (mirrors the
+            # exact path, where a NULL cosine ranks out) instead of an
+            # opaque np.asarray(None) TypeError killing the job
+            pdf = pdf[pdf[vec_col].notna()]
             if not len(pdf):
                 continue
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
@@ -363,7 +369,6 @@ def ivf_assign(
             cos = (mat @ cmat.T) / vn[:, None] / cn[None, :]
             # argsort desc with index tiebreak: negate, stable sort
             order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
-            n = len(pdf)
             yield pd.DataFrame(
                 {
                     id_col: np.repeat(pdf[id_col].to_numpy(), nprobe),
@@ -418,11 +423,15 @@ def ann_ivf_topk(
     q_cells = ivf_assign(queries, cents, nprobe, id_col, vec_col).withColumnRenamed(
         id_col, "query_id"
     )
+    # no distinct: each corpus vector lives in exactly ONE cell
+    # (nprobe=1 on the corpus side) and a query's probed cells are
+    # distinct, so a (query, neighbor) pair can only arise once — a
+    # distinct here would add a corpus-sized exchange for nothing
+    # (review r4)
     cand = (
         c_cells.join(broadcast(q_cells), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
-        .distinct()
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -852,8 +852,14 @@ def test_latest_snapshot_keeps_newest_crawl(spark):
     assert len(out) == 3
     assert bytes(out["u1"]["html"]) == b"new" and out["u1"]["text"] == "v3"
     assert bytes(out["u2"]["html"]) == b"only"
-    # tie on ts: greatest remaining orderable tuple wins (deterministic)
-    assert bytes(out["u3"]["html"]) == b"b"
+    # tie on ts: hash tie-break — one of the tied rows, chosen
+    # DETERMINISTICALLY (same winner under any partitioning)
+    assert bytes(out["u3"]["html"]) in (b"a", b"b")
+    out2 = {
+        r["url"]: r
+        for r in latest_snapshot(pages.repartition(5, "text")).collect()
+    }
+    assert bytes(out2["u3"]["html"]) == bytes(out["u3"]["html"])
     # plan: one exchange (the key shuffle), no window sort
     plan = latest_snapshot(pages)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
@@ -878,14 +884,17 @@ def test_host_stats_annotation(spark):
             (2, "https://a.example.org/y", 20),
             (3, "http://b.example.org/z", 5),
             (4, "not-a-url", 7),
+            (5, "https://a.example.org:8443/p", 3),
+            (6, "https://user@A.Example.ORG/q", 4),
         ],
         "doc_id long, url string, n_tokens long",
     )
     out = {r["doc_id"]: r for r in host_stats(docs, token_col="n_tokens").collect()}
-    assert len(out) == 4
+    assert len(out) == 6
+    # case, port, and userinfo variants all collapse to ONE domain group
     assert out[1]["host"] == "a.example.org"
-    assert out[1]["host_n_docs"] == 2 and out[1]["host_total_tokens"] == 30
-    assert out[2]["host_n_docs"] == 2
+    assert out[5]["host"] == "a.example.org" == out[6]["host"]
+    assert out[1]["host_n_docs"] == 4 and out[1]["host_total_tokens"] == 37
     assert out[3]["host_n_docs"] == 1 and out[3]["host_total_tokens"] == 5
     assert out[4]["host"] == "" and out[4]["host_n_docs"] == 1
 
@@ -932,8 +941,9 @@ def test_semantic_dedup_end_to_end(spark, emb):
 
 def test_latest_snapshot_random_equivalence(spark):
     """Seeded random crawl (many urls, repeated crawls, timestamp ties):
-    the max_by aggregate must equal the naive pandas ground truth (sort
-    by every orderable column, keep last per url)."""
+    every survivor carries its url's MAX timestamp and belongs to the
+    input's tied-row set, and the tie winner is identical under a
+    different partitioning (partition-order independence)."""
     import datetime as dt
 
     import numpy as np
@@ -951,15 +961,22 @@ def test_latest_snapshot_random_equivalence(spark):
     import pandas as pd
 
     pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
-    want = (
-        pdf.sort_values(["url", "warc_ts", "text"])
-        .groupby("url")
-        .tail(1)
-        .set_index("url")
-    )
-    assert len(got) == len(want)
-    for u, row in want.iterrows():
-        assert got[u] == (row["warc_ts"].to_pydatetime(), row["text"]), u
+    max_ts = pdf.groupby("url")["warc_ts"].max()
+    assert len(got) == len(max_ts)
+    candidates = {
+        u: set(
+            pdf[(pdf.url == u) & (pdf.warc_ts == max_ts[u])]["text"].tolist()
+        )
+        for u in max_ts.index
+    }
+    for u, (ts, text) in got.items():
+        assert ts == max_ts[u].to_pydatetime(), u
+        assert text in candidates[u], u
+    got2 = {
+        r["url"]: (r["warc_ts"], r["text"])
+        for r in latest_snapshot(df.repartition(13, "text")).collect()
+    }
+    assert got2 == got
 
 
 def test_remove_repeated_spans(spark):
