@@ -459,7 +459,7 @@ def ann_ivf_topk(
 def embedding_dup_pairs_ivf(
     corpus: DataFrame,
     threshold: float = 0.45,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train: str = "kmeans",
@@ -477,9 +477,17 @@ def embedding_dup_pairs_ivf(
     missed — the standard SemDeDup tradeoff (duplicates are near-parallel
     vectors, so they quantize together except exactly at boundaries).
     Exact duplicates always share a cell.  For guaranteed recall at high
-    thresholds use :func:`embedding_dup_pairs` (LSH + exact verify)."""
+    thresholds use :func:`embedding_dup_pairs` (LSH + exact verify).
+
+    ``n_centroids=None`` (default) sizes the quantizer FROM the corpus:
+    nlist = clamp(n/256, 4, 65536), keeping cells at ~256 members so the
+    candidate volume (~n^2/nlist) stays ~256·n — a fixed nlist would be
+    the same silent scale-killer the LSH auto-params used to be (one
+    count job when unset; pass nlist explicitly to skip it)."""
     from tesseract_rs_spark.functions.dedup import guarded_pair_join
 
+    if n_centroids is None:
+        n_centroids = max(4, min(65536, corpus.count() // 256))
     if train == "kmeans":
         cents = ivf_centroids_kmeans(
             corpus, n_centroids, id_col=id_col, vec_col=vec_col
@@ -512,7 +520,7 @@ def embedding_dup_pairs_ivf(
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.95,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train: str = "kmeans",
@@ -527,10 +535,12 @@ def semantic_dedup(
     jumping of ``dedup.dup_clusters``; the final filter is an id
     anti-join (8-byte keys).
 
-    SIZE ``n_centroids`` with the corpus: candidate pairs scale as
-    ~n^2 / n_centroids (cells of n/nlist members each), so keep cells at
-    the target semantic-cluster size — nlist ~ n / 100..1000, exactly how
-    SemDeDup configures its k-means.  Measured at 100k vectors on a
+    ``n_centroids`` governs the cost: candidate pairs scale as
+    ~n^2 / n_centroids (cells of n/nlist members each), so cells must
+    stay at the target semantic-cluster size — nlist ~ n / 100..1000,
+    exactly how SemDeDup configures its k-means.  The default (None)
+    auto-sizes to ~256-member cells from one corpus count (see
+    :func:`embedding_dup_pairs_ivf`).  Measured at 100k vectors on a
     pathologically duplicate-heavy corpus (92.6% collapse): nlist=64 ->
     250 s, nlist=512 -> 61 s with near-identical survivors (see
     BENCH.md)."""

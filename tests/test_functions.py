@@ -1050,3 +1050,17 @@ def test_remove_repeated_spans_null_text_passthrough(spark):
     assert out[3]["clean_text"] is None
     assert out[3]["n_tokens_removed"] == 0
     assert out[1]["clean_text"] == "" and out[1]["n_tokens_removed"] == 5
+
+
+def test_semantic_dedup_auto_nlist(spark, emb):
+    """n_centroids=None auto-sizes the quantizer from the corpus (min 4
+    cells on a tiny corpus) — the fixed-default scale-killer guard."""
+    from tesseract_rs_spark.functions.similarity import semantic_dedup
+
+    base = emb.limit(20)
+    dup = base.filter(F.col("vec_id") == 0).withColumn(
+        "vec_id", F.lit(100000).cast("long")
+    )
+    survivors = semantic_dedup(base.unionByName(dup), threshold=0.999)
+    assert survivors.count() == base.count()
+    assert 100000 not in {r["vec_id"] for r in survivors.collect()}
