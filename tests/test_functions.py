@@ -802,6 +802,56 @@ def test_ann_ivf_no_nested_loop_plan(emb):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_ivf_kmeans_sample_threading(emb):
+    """VERDICT r4 #1: the quantizer must never silently cap at the
+    k-means sample.  (a) requesting more cells than the sample RAISES;
+    (b) the auto path's threaded sample (kmeans_sample_size) always
+    covers the requested nlist, so the effective cell count equals the
+    requested one whenever the corpus can support it; (c) auto_nlist
+    targets ~256-member cells, caps at the driver-Lloyd budget with a
+    warning."""
+    import pytest as _pytest
+
+    from tesseract_rs_spark.functions.similarity import (
+        KMEANS_OVERSAMPLE,
+        MAX_AUTO_NLIST,
+        auto_nlist,
+        ivf_centroids_kmeans,
+        kmeans_sample_size,
+    )
+
+    # (a) explicit undersized sample is an error, not a silent clamp
+    with _pytest.raises(ValueError, match="exceeds sample_size"):
+        ivf_centroids_kmeans(emb, n_centroids=64, sample_size=32)
+    # (b) threaded sample: effective nlist == requested nlist even when
+    # the requested count exceeds the OLD fixed default's failure shape
+    # (n_centroids > sample it would have clamped to)
+    want = 24
+    cents = ivf_centroids_kmeans(
+        emb, n_centroids=want, sample_size=kmeans_sample_size(want, floor=32),
+        n_iters=3,
+    )
+    assert len(cents) == want
+    for n in (1, 10_000, 1_000_000, 50_000_000):
+        assert kmeans_sample_size(auto_nlist_quiet(n)) >= (
+            KMEANS_OVERSAMPLE * auto_nlist_quiet(n)
+        )
+    # (c) auto_nlist: ~256-member cells, then the documented cap + warning
+    assert auto_nlist(1000) == 4 and auto_nlist(1_000_000) == 3906
+    with _pytest.warns(UserWarning, match="capped"):
+        assert auto_nlist(100_000_000) == MAX_AUTO_NLIST
+
+
+def auto_nlist_quiet(n):
+    import warnings
+
+    from tesseract_rs_spark.functions.similarity import auto_nlist
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        return auto_nlist(n)
+
+
 def test_corpus_fluency_signals(spark):
     """Hand-computed fixture: shared bigrams are frequent across the
     corpus, gibberish bigrams are rare (freq <= 2), and a doc's counters
