@@ -949,6 +949,63 @@ def test_host_stats_annotation(spark):
     assert out[4]["host"] == "" and out[4]["host_n_docs"] == 1
 
 
+def test_host_stats_schemeless_urls(spark):
+    """ADVICE r4: crawl link data carries scheme-less ('example.org/x')
+    and protocol-relative ('//example.org/x') urls — both must resolve
+    to their real host, not collapse into the '' bucket; relative paths
+    ('about/contact', dotless) still do."""
+    from tesseract_rs_spark.functions.cleaning import host_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://a.example.org/x"),
+            (2, "//A.example.ORG/y"),
+            (3, "example.org/z"),
+            (4, "Example.ORG:8080/w"),
+            (5, "example.org"),
+            (6, "about/contact"),
+            (7, "localhost/x"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r for r in host_stats(docs).collect()}
+    assert out[2]["host"] == "a.example.org" == out[1]["host"]
+    assert out[3]["host"] == "example.org" == out[4]["host"] == out[5]["host"]
+    assert out[3]["host_n_docs"] == 3
+    # dotless leading tokens are NOT hosts — relative paths stay ''
+    assert out[6]["host"] == "" and out[7]["host"] == ""
+
+
+def test_host_stats_broadcast_plan(spark):
+    """VERDICT r4 #2: the join back must BROADCAST the per-host counter
+    table — the document side (multi-KB text rows, skewed host key) may
+    never shuffle by host.  Pinned with auto-broadcast disabled so only
+    the explicit hint can produce the broadcast."""
+    import pyspark.sql.functions as F
+
+    from tesseract_rs_spark.functions.cleaning import host_stats
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        docs = spark.range(100).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("https://h"), (F.col("id") % 5).cast("string"),
+                F.lit(".example.org/p"),
+            ).alias("url"),
+        )
+        out = host_stats(docs)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "ShuffledHashJoin" not in plan, plan
+        assert out.count() == 100
+    finally:
+        spark.conf.set(key, old)
+
+
 def test_semantic_dedup_end_to_end(spark, emb):
     """SemDeDup composition: planted exact-duplicate vectors (including a
     chain a~b~c via identical copies) quantize into the same cell, the
