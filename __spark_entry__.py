@@ -397,7 +397,12 @@ def _q_engine_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedded_languages, charset size — api.rs version/embedded
     accessors).  Each doc sets source_resolution = 70 + (doc_id%4)*10 so
     the round-trip is row-dependent, not a constant fold.  Introspection
-    only (~bytes per row) — not a hot path."""
+    only (~bytes per row) — not a hot path.
+
+    Also exercises the read_config_file loader distributed (api.rs
+    791-818 via ``with_config_text`` — comments and blank lines skipped,
+    typed knobs mirrored): a per-doc config text loads a whitelist and
+    the preserve flag, emitted as cfg_whitelist/cfg_preserve."""
     import pandas as pd
 
     from tesseract_rs_spark import __version__
@@ -412,13 +417,21 @@ def _q_engine_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(pdf):
                 continue
             ids = pdf["doc_id"].astype("int64")
-            dpis, dumps = [], []
+            dpis, dumps, wls, press = [], [], [], []
             for d in ids:
                 cfg = ExtractConfig().with_variable(
                     "source_resolution", str(70 + (int(d) % 4) * 10)
                 )
                 dpis.append(int(cfg.get_variable("source_resolution")))
                 dumps.append(cfg.print_variables())
+                cfg2 = ExtractConfig().with_config_text(
+                    "# engine knobs (comment line must be skipped)\n"
+                    "\n"
+                    f"tessedit_char_whitelist ab{int(d) % 10}\n"
+                    "preserve_interword_spaces 1\n"
+                )
+                wls.append(cfg2.char_whitelist)
+                press.append(cfg2.preserve_interword_spaces)
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
@@ -429,13 +442,16 @@ def _q_engine_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "charset_size": pd.array(
                         [charset_n] * len(ids), dtype="int64"
                     ),
+                    "cfg_whitelist": wls,
+                    "cfg_preserve": pd.array(press, dtype="bool"),
                 }
             )
 
     return docs.mapInPandas(
         gen,
         "doc_id long, dpi long, var_dump string, version string, "
-        "embedded_langs string, charset_size long",
+        "embedded_langs string, charset_size long, "
+        "cfg_whitelist string, cfg_preserve boolean",
     )
 
 
@@ -582,6 +598,24 @@ def _q_ocr_layout(spark, sf_dir):
     return ocr_layout(pages, id_cols=("doc_id",))
 
 
+def _q_ocr_layout_m(spark, sf_dir):
+    """Layout blocks + the ResultIterator confidence(level) rollup at
+    paragraph grain (assemble.level_confidence over the word table, one
+    partial-aggregating groupBy).  On clean renders every word decodes
+    with Hamming distance 0, so the per-para mean confidence is exactly
+    100.0 — closed-form for the oracle while the Spark side computes the
+    real rollup over real per-word confidences."""
+    from tesseract_rs_spark.operators.assemble import level_confidence
+
+    pages = raster_pages_from_documents(_docs(spark, sf_dir), WPL, LPP)
+    layout = ocr_layout(pages, id_cols=("doc_id",))
+    words = ocr_words(pages, id_cols=("doc_id",))
+    conf = level_confidence(
+        words, key="doc_id", level_cols=("para_id",)
+    ).select("doc_id", "para_id", F.col("level_conf").alias("para_conf"))
+    return layout.join(conf, ["doc_id", "para_id"])
+
+
 def _q_ocr_osd(spark, sf_dir):
     """Pages rendered at (doc_id % 4) * 90 degrees ccw: detect_os must
     recover the rotation AND the auto-rotated decode must stay byte-exact
@@ -594,6 +628,27 @@ def _q_ocr_osd(spark, sf_dir):
         "doc_id", "orientation_deg", "script", "writing_direction",
         "textline_order", "text",
     )
+
+
+def _q_ocr_osd_m(spark, sf_dir):
+    """OSD + the set_min_orientation_margin knob: alongside the default
+    detection, a second pass with margin=1000 (scores live in [0,100])
+    pins every disambiguation vote to its pair default — upright/180
+    pages report 0, sideways pages report 90 — so the margin-governed
+    decision is closed-form: 90 for odd doc_id (true rotation 90/270,
+    stage-1 variance says sideways), 0 for even (api.rs:640-647)."""
+    pages = raster_pages_from_documents(
+        _docs(spark, sf_dir), WPL, LPP, rotate_mod4=True
+    )
+    base = ocr_osd(pages, id_cols=("doc_id",)).select(
+        "doc_id", "orientation_deg", "script", "writing_direction",
+        "textline_order", "text",
+    )
+    pinned_cfg = ExtractConfig().with_variable("min_orientation_margin", "1000")
+    pinned = ocr_osd(pages, pinned_cfg, id_cols=("doc_id",)).select(
+        "doc_id", F.col("orientation_deg").alias("orientation_deg_margin")
+    )
+    return base.join(pinned, "doc_id")
 
 
 def _q_ocr_multilang(spark, sf_dir):
@@ -747,6 +802,35 @@ def _q_repeated_spans(spark, sf_dir):
     return repeated_ngram_spans(_docs(spark, sf_dir), n=3)
 
 
+def _q_repeated_spans_m(spark, sf_dir):
+    """Substring dedup, BOTH halves of Lee et al. 2022 under one name:
+    the find half (repeated-span rows, part='span') and the scrub half
+    (remove_repeated_spans — per-doc excised text + removed-token count,
+    part='scrub').  Oracle: the span SQL, plus string surgery over the
+    same span set (EXISTS-marked tokens re-aggregated in order)."""
+    from tesseract_rs_spark.functions.cleaning import (
+        remove_repeated_spans,
+        repeated_ngram_spans,
+    )
+
+    docs = _docs(spark, sf_dir)
+    spans = repeated_ngram_spans(docs, n=3).select(
+        F.lit("span").alias("part"),
+        "doc_id", "span_id", "tok_start", "tok_end",
+        F.lit(None).cast("string").alias("clean_text"),
+        F.lit(None).cast("long").alias("n_tokens_removed"),
+    )
+    scrub = remove_repeated_spans(docs, n=3).select(
+        F.lit("scrub").alias("part"),
+        "doc_id",
+        F.lit(None).cast("long").alias("span_id"),
+        F.lit(None).cast("long").alias("tok_start"),
+        F.lit(None).cast("long").alias("tok_end"),
+        "clean_text", "n_tokens_removed",
+    )
+    return spans.unionByName(scrub)
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS from the MinHash pair graph: distributed
     hash-min label propagation -> (doc_id, cluster_id = component-min id).
@@ -857,6 +941,38 @@ def _q_token_count_bpe(spark, sf_dir):
 
 def _q_dedup_embedding(spark, sf_dir):
     return embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.45)
+
+
+def _q_dedup_embedding_m(spark, sf_dir):
+    """Embedding near-dup surface, three operators tagged by method:
+    the LSH + exact-verify pairs, the SemDeDup IVF cell-bucketed pairs,
+    and the full semantic_dedup survivor set (pairs -> connected
+    components -> min-id survivor per component).  The IVF branches run
+    at n_centroids=1 — every vector in ONE cell — the full-recall regime
+    where the cell-bucketed pairs equal the exact all-pairs answer and
+    the survivor set is exactly computable by a recursive-CTE
+    min-reachability oracle (the same trick ann_ivf_topk uses; the
+    multi-cell approximate regime is recall-gated in tests)."""
+    from tesseract_rs_spark.functions.similarity import (
+        embedding_dup_pairs_ivf,
+        semantic_dedup,
+    )
+
+    emb = _emb(spark, sf_dir)
+    lsh = embedding_dup_pairs(emb, threshold=0.45).select(
+        F.lit("lsh_pair").alias("method"), "id_a", "id_b"
+    )
+    ivf = embedding_dup_pairs_ivf(
+        emb, threshold=0.45, n_centroids=1, train="kmeans"
+    ).select(F.lit("ivf_pair").alias("method"), "id_a", "id_b")
+    surv = semantic_dedup(
+        emb, threshold=0.45, n_centroids=1, train="kmeans"
+    ).select(
+        F.lit("semantic_survivor").alias("method"),
+        F.col("vec_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+    )
+    return lsh.unionByName(ivf).unionByName(surv)
 
 
 def _q_media_image_stats(spark, sf_dir):
@@ -1321,10 +1437,16 @@ def _q_fingerprint_m(spark, sf_dir):
 def _q_text_cleaning_m(spark, sf_dir):
     """PII scrub + URL normalization + benchmark-contamination counts +
     Dolma-style host-level stats (each doc annotated with its domain's
-    doc count and token total — the domain-filtering join), one row per
+    doc count and token total — the domain-filtering join) + snapshot
+    dedup (latest_snapshot over three synthesized crawls per url: the
+    kept crawl's ts and payload ride as latest_ts/latest_snap — the
+    max_by keep-latest operator, oracle = DuckDB max_by), one row per
     doc.  Hosts are synthesized as doc_id % 7 subdomains so the per-host
-    aggregates are non-trivial."""
-    from tesseract_rs_spark.functions.cleaning import host_stats
+    aggregates are non-trivial; crawl timestamps are distinct per url by
+    construction (ts = ((doc_id*(k+1)) % 5)*10 + k), so the survivor is
+    closed-form and the hash tie-break never fires (tie determinism is
+    pinned separately in unit tests)."""
+    from tesseract_rs_spark.functions.cleaning import host_stats, latest_snapshot
     from tesseract_rs_spark.functions.text import token_count
 
     p = _q_pii_scrub(spark, sf_dir)
@@ -1343,7 +1465,26 @@ def _q_text_cleaning_m(spark, sf_dir):
     h = host_stats(docs, token_col="n_tokens").select(
         "doc_id", "host", "host_n_docs", "host_total_tokens"
     )
-    return p.join(u, "doc_id").join(c, "doc_id").join(h, "doc_id")
+    snaps = docs.select(
+        "doc_id", "url",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k"),
+    ).select(
+        "doc_id", "url",
+        (((F.col("doc_id") * (F.col("k") + 1)) % 5) * 10 + F.col("k"))
+        .cast("long").alias("warc_ts"),
+        F.concat(F.lit("snap"), F.col("k").cast("string")).alias("snap"),
+    )
+    ls = latest_snapshot(snaps, key_col="url", ts_col="warc_ts").select(
+        "doc_id",
+        F.col("warc_ts").alias("latest_ts"),
+        F.col("snap").alias("latest_snap"),
+    )
+    return (
+        p.join(u, "doc_id")
+        .join(c, "doc_id")
+        .join(h, "doc_id")
+        .join(ls, "doc_id")
+    )
 
 
 def _q_dedup_summary_m(spark, sf_dir):
@@ -1464,10 +1605,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_text": _q_ocr_text,
         "ocr_words": _q_ocr_words_m,
         "ocr_page_stats": _q_ocr_page_stats_m,
-        "ocr_layout": _q_ocr_layout,
+        "ocr_layout": _q_ocr_layout_m,
         "ocr_choices": _q_ocr_choices,
         "ocr_symbol_attrs": _q_ocr_symbol_attrs,
-        "ocr_osd": _q_ocr_osd,
+        "ocr_osd": _q_ocr_osd_m,
         "ocr_multilang": _q_ocr_multilang,
         "ocr_variants": _q_ocr_variants_m,
         "engine_manifest": _q_engine_manifest,
@@ -1486,9 +1627,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_summary": _q_dedup_summary_m,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs_m,
         "dedup_clusters": _q_dedup_clusters,
-        "repeated_spans": _q_repeated_spans,
+        "repeated_spans": _q_repeated_spans_m,
         "dedup_paragraphs": _q_dedup_paragraphs,
-        "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding": _q_dedup_embedding_m,
         # similarity search
         "ann_topk": _q_ann_topk_m,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -2035,7 +2176,10 @@ def _oracle_parts() -> dict[str, str]:
                  || chr(10) AS var_dump,
                '0.1.0' AS version,
                'eng+tur' AS embedded_langs,
-               CAST(40 AS BIGINT) AS charset_size
+               CAST(40 AS BIGINT) AS charset_size,
+               'ab' || CAST(CAST(doc_id AS BIGINT) % 10 AS VARCHAR)
+                 AS cfg_whitelist,
+               TRUE AS cfg_preserve
         FROM documents
         """,
         "render_unlv": _WORDS_CTE
@@ -3220,10 +3364,24 @@ def oracle_sql() -> dict[str, str]:
                m.orientation_deg, m.n_components, m.n_words
         FROM {sub("ocr_thresholded")} t JOIN {sub("ocr_metrics")} m USING (doc_id)
         """,
-        "ocr_layout": o["ocr_layout"],
+        # + the paragraph-grain confidence(level) rollup: clean renders
+        # decode every word at Hamming distance 0 -> exactly 100.0
+        "ocr_layout": f"""
+        SELECT l.*, CAST(100.0 AS DOUBLE) AS para_conf
+        FROM {sub("ocr_layout")} l
+        """,
         "ocr_choices": o["ocr_choices"],
         "ocr_symbol_attrs": o["ocr_symbol_attrs"],
-        "ocr_osd": o["ocr_osd"],
+        # + the margin-pinned orientation: margin=1000 pins each
+        # disambiguation vote to its pair default (0 upright, 90
+        # sideways); stage-1 variance routes odd doc_ids (true 90/270)
+        # to the sideways pair
+        "ocr_osd": f"""
+        SELECT s.*,
+               CAST(CASE WHEN s.doc_id % 2 = 1 THEN 90 ELSE 0 END AS BIGINT)
+                 AS orientation_deg_margin
+        FROM {sub("ocr_osd")} s
+        """,
         "ocr_multilang": o["ocr_multilang"],
         "ocr_variants": f"""
         SELECT a.doc_id, a.text, a.status, a.mean_conf,
@@ -3311,15 +3469,28 @@ def oracle_sql() -> dict[str, str]:
           SELECT host, CAST(count(*) AS BIGINT) AS host_n_docs,
                  CAST(SUM(n_tokens) AS BIGINT) AS host_total_tokens
           FROM hosts GROUP BY host
+        ),
+        snaps AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, ks.k,
+                 ((CAST(doc_id AS BIGINT) * (ks.k + 1)) % 5) * 10 + ks.k AS ts
+          FROM documents
+          CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS k) ks
+        ),
+        latest AS (
+          SELECT doc_id, CAST(MAX(ts) AS BIGINT) AS latest_ts,
+                 'snap' || CAST(max_by(k, ts) AS VARCHAR) AS latest_snap
+          FROM snaps GROUP BY doc_id
         )
         SELECT p.doc_id, p.clean_text, p.n_pii, u.url_norm,
                c.n_shingles, c.n_contaminated,
-               h.host, ph.host_n_docs, ph.host_total_tokens
+               h.host, ph.host_n_docs, ph.host_total_tokens,
+               l.latest_ts, l.latest_snap
         FROM {sub("pii_scrub")} p
         JOIN {sub("url_normalize")} u USING (doc_id)
         JOIN {sub("contamination")} c USING (doc_id)
         JOIN hosts h USING (doc_id)
         JOIN per_host ph USING (host)
+        JOIN latest l USING (doc_id)
         """,
         # --- dedup ---
         "dedup_summary": f"""
@@ -3333,9 +3504,77 @@ def oracle_sql() -> dict[str, str]:
         FROM {sub("dedup_minhash_lsh")}
         """,
         "dedup_clusters": o["dedup_clusters"],
-        "repeated_spans": o["repeated_spans"],
+        # find half (span rows) + scrub half (remove_repeated_spans):
+        # the scrub oracle is string surgery over the SAME span set —
+        # tokens inside any span drop (EXISTS probe), survivors
+        # re-aggregate in position order (string_agg skips the NULLed
+        # dropped tokens; COALESCE('') covers an all-dropped doc, which
+        # the Spark side renders as '' via its empty collect_list)
+        "repeated_spans": f"""
+        SELECT 'span' AS part, doc_id, span_id, tok_start, tok_end,
+               CAST(NULL AS VARCHAR) AS clean_text,
+               CAST(NULL AS BIGINT) AS n_tokens_removed
+        FROM {sub("repeated_spans")}
+        UNION ALL
+        SELECT 'scrub', m.doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT), m.clean_text, m.n_tokens_removed
+        FROM (
+          WITH toks AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+                   unnest(string_split(text, ' ')) AS w
+            FROM documents
+          ),
+          marked AS (
+            SELECT t.doc_id, t.pos, t.w,
+                   EXISTS (SELECT 1 FROM {sub("repeated_spans")} s
+                           WHERE s.doc_id = t.doc_id
+                             AND t.pos >= s.tok_start
+                             AND t.pos < s.tok_end) AS dropped
+            FROM toks t
+          )
+          SELECT doc_id,
+                 COALESCE(string_agg(CASE WHEN NOT dropped THEN w END,
+                                     ' ' ORDER BY pos), '') AS clean_text,
+                 CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_tokens_removed
+          FROM marked GROUP BY doc_id
+        ) m
+        """,
         "dedup_paragraphs": o["dedup_paragraphs"],
-        "dedup_embedding": o["dedup_embedding"],
+        # LSH pairs, IVF cell-bucketed pairs at n_centroids=1 (single
+        # cell -> full recall -> both equal the exact all-pairs set),
+        # and the semantic_dedup survivor set = corpus minus every
+        # non-minimum member of each pair-graph component (recursive-CTE
+        # min-reachability, the dedup_clusters oracle idiom)
+        "dedup_embedding": """
+        WITH RECURSIVE e AS (
+          SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        p AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM e a, e b
+          WHERE a.vec_id < b.vec_id
+            AND list_cosine_similarity(a.v, b.v) >= 0.45
+        ),
+        edges(u, v) AS (
+          SELECT id_a, id_b FROM p UNION SELECT id_b, id_a FROM p
+        ),
+        reach(u, v) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+          UNION
+          SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+        ),
+        comp AS (SELECT u, MIN(v) AS cid FROM reach GROUP BY u)
+        SELECT 'lsh_pair' AS method, id_a, id_b FROM p
+        UNION ALL
+        SELECT 'ivf_pair', id_a, id_b FROM p
+        UNION ALL
+        SELECT 'semantic_survivor', vec_id, CAST(NULL AS BIGINT)
+        FROM e WHERE vec_id NOT IN (SELECT u FROM comp WHERE u <> cid)
+        """,
         # --- similarity search ---
         "ann_topk": f"""
         SELECT 'exact' AS method, query_id, rank, neighbor_id

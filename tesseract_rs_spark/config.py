@@ -94,6 +94,14 @@ class ExtractConfig:
     roi_end: int | None = None
     roi_rect: tuple | None = None
 
+    # OSD decision margin (set_min_orientation_margin analog,
+    # /root/reference/src/api.rs:640-647): the non-default orientation in
+    # each detect_os disambiguation pair wins only when its decode score
+    # beats the default's by at least this much.  A huge margin pins the
+    # decision to the pair's default (0 for upright/180, 90 for
+    # sideways) — the observable knob the driver query exercises.
+    min_orientation_margin: float = 5.0
+
     # Per-page wall-clock budget — the TessMonitor deadline /
     # process_pages timeout analog (/root/reference/src/monitor.rs:18-50,
     # src/api.rs:844-875).  A page that exceeds it yields a
@@ -121,25 +129,35 @@ class ExtractConfig:
             kwargs["oem"] = oem_from_int(int(value))
         elif name == "source_resolution":
             kwargs["source_dpi"] = int(value)
+        elif name == "min_orientation_margin":
+            kwargs["min_orientation_margin"] = float(value)
         return replace(self, **kwargs)
+
+    def with_config_text(self, text: str) -> "ExtractConfig":
+        """read_config_file semantics over config TEXT: ``name value``
+        lines (blank lines and ``#`` comments skipped) through the same
+        typed ``with_variable`` path.  The text form is the distributed
+        primitive — a config file exists on the driver, but executors
+        replay the broadcast parsed config, so the loader must not
+        depend on a filesystem path being visible cluster-wide."""
+        cfg = self
+        for raw in text.splitlines():
+            line = raw.strip()
+            if not line or line.startswith("#"):
+                continue
+            name, _, value = line.partition(" ")
+            if not value:
+                raise ValueError(f"malformed config line: {raw!r}")
+            cfg = cfg.with_variable(name, value.strip())
+        return cfg
 
     def with_config_file(self, path: str) -> "ExtractConfig":
         """read_config_file analog (/root/reference/src/api.rs:791-818):
-        bulk-load ``name value`` lines (blank lines and ``#`` comments
-        skipped) through the same typed ``with_variable`` path.
+        bulk-load a driver-local config file via :meth:`with_config_text`.
         ``read_debug_config_file`` is this with a debug-only variables
         file — identical loader."""
-        cfg = self
         with open(path, encoding="utf-8") as f:
-            for raw in f:
-                line = raw.strip()
-                if not line or line.startswith("#"):
-                    continue
-                name, _, value = line.partition(" ")
-                if not value:
-                    raise ValueError(f"malformed config line: {raw!r}")
-                cfg = cfg.with_variable(name, value.strip())
-        return cfg
+            return self.with_config_text(f.read())
 
     @property
     def langs(self) -> tuple:

@@ -812,7 +812,7 @@ def _orient_score(
     return float(confs.mean())
 
 
-def detect_os(binary: np.ndarray) -> tuple:
+def detect_os(binary: np.ndarray, margin: float = _ORIENT_MARGIN) -> tuple:
     """Full orientation & script detection (detect_os analog,
     /root/reference/src/api.rs:599-629): returns (orientation_deg,
     orientation_conf, script, script_conf).
@@ -822,7 +822,11 @@ def detect_os(binary: np.ndarray) -> tuple:
     horizontal), then a decode-confidence vote between the two remaining
     180-degree-apart candidates breaks the symmetry the profile cannot
     see.  Ambiguity defaults to the lower rotation (PAGE_UP default,
-    /root/reference/src/enums.rs:126-134)."""
+    /root/reference/src/enums.rs:126-134).  ``margin`` is the
+    set_min_orientation_margin analog (api.rs:640-647): the non-default
+    candidate must beat the default's decode score by at least this much
+    — scores live in [0, 100], so a margin above 100 pins the decision
+    to the pair default (0 upright / 90 sideways)."""
     rows = binary.sum(axis=1).astype(np.float64)
     cols = binary.sum(axis=0).astype(np.float64)
     sideways = cols.var() > 2.0 * rows.var()
@@ -839,7 +843,7 @@ def detect_os(binary: np.ndarray) -> tuple:
     (deg_a, bin_a, any_a), (deg_b, bin_b, any_b) = cand
     score_a = _orient_score(bin_a, row_any=any_a)
     score_b = _orient_score(bin_b, row_any=any_b)
-    if score_b > score_a + _ORIENT_MARGIN:
+    if score_b > score_a + margin:
         deg, score, other = deg_b, score_b, score_a
     else:
         deg, score, other = deg_a, score_a, score_b
@@ -1011,6 +1015,7 @@ def extract_raster_doc(
     langs: tuple = ("eng",),
     oem: int = 0,
     roi: tuple | None = None,
+    orient_margin: float = _ORIENT_MARGIN,
 ) -> RasterResult:
     """``roi=(left, top, width, height)`` restricts recognition to a pixel
     rectangle (set_rectangle, /root/reference/src/api.rs:1289-1296);
@@ -1042,7 +1047,9 @@ def extract_raster_doc(
     # before layout analysis (detect_os -> orientation, api.rs:599-629; the
     # reference's AUTO_OSD PSM path).  The reported orientation is the
     # DETECTED one.
-    detected_orientation, orient_conf, script, script_conf = detect_os(binary)
+    detected_orientation, orient_conf, script, script_conf = detect_os(
+        binary, margin=orient_margin
+    )
     if detected_orientation:
         binary = np.rot90(binary, k=-(detected_orientation // 90))
     # small-angle deskew (orientation tuple's deskew channel): the

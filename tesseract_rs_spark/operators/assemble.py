@@ -61,6 +61,18 @@ def mean_text_conf(words: DataFrame, key: str = "url") -> DataFrame:
     )
 
 
+def level_confidence(
+    words: DataFrame, key: str = "url", level_cols: tuple = ("para_id",)
+) -> DataFrame:
+    """``ResultIterator::confidence(level)`` analog
+    (/root/reference/src/result_iterator.rs:56-66): mean word confidence
+    over the chosen level's group — one partial-aggregating groupBy on
+    (key, level ids), no window and no second pass."""
+    return words.groupBy(key, *level_cols).agg(
+        F.avg("conf").alias("level_conf")
+    )
+
+
 def all_word_confidences(words: DataFrame, key: str = "url") -> DataFrame:
     """ordered per-document confidence list
     (/root/reference/src/api.rs:555-572)."""

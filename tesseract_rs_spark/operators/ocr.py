@@ -98,7 +98,9 @@ def ocr_osd(
     page_iterator.rs:182-217): per page (orientation 0/90/180/270 ccw +
     confidence, script + confidence, writing_direction, textline_order,
     deskew angle) plus the auto-rotated decode text, so byte-exact
-    extraction under rotation is part of the oracle surface."""
+    extraction under rotation is part of the oracle surface.  The
+    config's ``min_orientation_margin`` (set_min_orientation_margin
+    analog) governs the disambiguation vote."""
     cfg = cfg or ExtractConfig()
     wl = cfg.char_whitelist
     schema = _id_schema(pages, id_cols) + ", " + OCR_OSD_FIELDS
@@ -112,6 +114,7 @@ def ocr_osd(
                 extract_raster_doc(
                     p, whitelist=wl, timeout_ms=cfg.page_timeout_ms,
                     oem=cfg.oem, roi=cfg.roi_rect,
+                    orient_margin=cfg.min_orientation_margin,
                 )
                 for p in pdf[payload_col]
             ]

@@ -98,6 +98,23 @@ class TestKernels:
         for rot in (0, 90, 180, 270):
             assert osd_orientation(np.rot90(binary, k=rot // 90)) == rot
 
+    def test_orientation_margin_pins_pair_default(self):
+        """set_min_orientation_margin analog (api.rs:640-647): a margin
+        above the score range pins each disambiguation vote to its pair
+        default — 0 for upright/180, 90 for sideways — while the default
+        margin recovers the true rotation (previous test)."""
+        import numpy as np
+
+        from tesseract_rs_spark.kernels.raster import detect_os
+
+        page = render_page(TEXT)
+        img, _ = decode_page(page)
+        binary = img <= otsu_threshold(img)
+        expected = {0: 0, 90: 90, 180: 0, 270: 90}
+        for rot, want in expected.items():
+            got = detect_os(np.rot90(binary, k=rot // 90), margin=1000.0)[0]
+            assert got == want, (rot, got)
+
 
 class TestGolden:
     """Render known text, expect it back — the reference's own idiom

@@ -76,6 +76,18 @@ class TestConfigFile:
         with pytest.raises(ValueError):
             ExtractConfig().with_config_file(str(p))
 
+    def test_config_text_is_the_distributed_primitive(self):
+        """with_config_text == with_config_file minus the driver-local
+        file — executors replay broadcast TEXT, never read a path; the
+        margin knob round-trips typed like the others."""
+        cfg = ExtractConfig().with_config_text(
+            "# c\n\nmin_orientation_margin 12.5\nsource_resolution 110\n"
+        )
+        assert cfg.min_orientation_margin == 12.5
+        assert cfg.source_dpi == 110
+        with pytest.raises(ValueError):
+            ExtractConfig().with_config_text("bare\n")
+
 
 class TestRasterROI:
     def test_roi_restricts_and_keeps_absolute_boxes(self):
