@@ -124,17 +124,6 @@ def timed_extract(spark, path: str, subset: int | None = None):
     return time.time() - t0, docs, chars, errors
 
 
-def sampled_extract(spark, path: str, runs: int = 3, subset: int | None = None):
-    """Warm-up once, then ``runs`` measured samples (sorted by wall time).
-    Co-tenant noise only ever ADDS time, so the minimum is the least-biased
-    estimator of true speed; the median is also recorded in the JSON so
-    rows stay comparable with earlier median-based rounds (ADVICE r3)."""
-    timed_extract(spark, path, subset=subset)
-    samples = [timed_extract(spark, path, subset=subset) for _ in range(runs)]
-    samples.sort(key=lambda s: s[0])
-    return samples
-
-
 def worker_env_probe(spark) -> dict:
     """Report the BLAS/OMP thread env as seen INSIDE a Python worker —
     if the pin in session.get_spark didn't reach the workers (VERDICT r3:
@@ -251,29 +240,82 @@ def main() -> None:
 
     scaling = None
     if SCALING:
-        levels = {}
-        # the low leg's longer wall gives co-tenant bursts more exposure —
-        # give it more samples so its best is actually burst-free
-        for label, n, runs in (("low", SCALE_LOW, 5), ("high", SCALE_HIGH, 3)):
-            s = get_spark(f"bench-{label}", cores=n)
-            runs_n = sampled_extract(s, path, runs=runs, subset=SCALING_FRACTION)
-            s.stop()
-            sec_n, docs_n = runs_n[0][0], runs_n[0][1]
-            sec_med = runs_n[len(runs_n) // 2][0]
-            levels[label] = (n, sec_n, docs_n / sec_n, sec_med)
-        (nl, wl, tl, ml), (nh, wh, th, mh) = levels["low"], levels["high"]
+        # INTERLEAVE the levels (VERDICT r4 #4): the old all-low-then-
+        # all-high order let a minutes-long co-tenant burst land entirely
+        # inside one level's block, skewing the ratio (r3 read 0.87, r4
+        # read a physically-meaningless 1.30 — both were one throttled
+        # block, not scaling).  Rounds of adjacent (low, high) pairs put
+        # both levels inside any burst window; each level's headline wall
+        # is its best across rounds, and the per-round pair efficiencies
+        # are reported so a noisy round is visible instead of silently
+        # polluting the headline.  Each leg gets a fresh session (the
+        # master string is fixed per JVM context) warmed by one unmeasured
+        # run before its measured run.
+        # Pin the scan split size for BOTH levels: Spark sizes file splits
+        # from defaultParallelism (totalBytes/cores floor), so the low
+        # leg otherwise reads the corpus as ~5 fat splits — 2 quantized
+        # waves over 4 slots at ~60% utilization — while the high leg
+        # gets 16 fine splits at full utilization.  That layout asymmetry
+        # (not co-tenant noise) was the systematic >1 "efficiency"
+        # (diagnosed r5: per-slot rates read 2.6k/3.8k/3.1k docs/s at
+        # 4/8/16 slots under adaptive splits).  8m -> 64 identical splits
+        # = 16 waves at 4 slots / 4 waves at 16 — both divide evenly and
+        # stragglers amortize; measured pair efficiencies tighten from
+        # the 0.73..1.47 adaptive-split band to 0.92..1.05.
+        split_conf = {"spark.sql.files.maxPartitionBytes": "8m"}
+        walls: dict = {"low": [], "high": []}
+        docs_level: dict = {}
+        pair_eff = []
+        for _ in range(3):
+            round_walls = {}
+            for label, n in (("low", SCALE_LOW), ("high", SCALE_HIGH)):
+                s = get_spark(f"bench-{label}", cores=n, extra_conf=split_conf)
+                timed_extract(s, path, subset=SCALING_FRACTION)  # warm-up
+                w, d, _, _ = timed_extract(s, path, subset=SCALING_FRACTION)
+                s.stop()
+                walls[label].append(w)
+                docs_level[label] = d
+                round_walls[label] = w
+            pair_eff.append(
+                round(
+                    (docs_level["high"] / round_walls["high"])
+                    / (docs_level["low"] / round_walls["low"])
+                    / (SCALE_HIGH / SCALE_LOW),
+                    3,
+                )
+            )
+        # Headline = the pair efficiency of the LEAST-THROTTLED round
+        # (smallest core-normalized combined wall).  Never cross-pair
+        # best walls from different rounds: a clean high wall paired
+        # with another round's throttled low wall reads as super-linear
+        # "scaling" that is really a slow denominator — the exact
+        # artifact interleaving exists to kill (measured: cross-paired
+        # bests read 1.37 on a run whose within-round pairs read
+        # 0.97/1.92/1.01).  The median of pairs rides along as the
+        # robustness check.
+        ratio = SCALE_HIGH / SCALE_LOW
+        combined = [
+            lw + hw * ratio for lw, hw in zip(walls["low"], walls["high"])
+        ]
+        best_round = combined.index(min(combined))
+        wl = walls["low"][best_round]
+        wh = walls["high"][best_round]
+        tl = docs_level["low"] / wl
+        th = docs_level["high"] / wh
+        med = sorted(pair_eff)[len(pair_eff) // 2]
         scaling = {
-            "cores_low": nl,
-            "cores_high": nh,
-            "pages": int(tl * wl),
+            "cores_low": SCALE_LOW,
+            "cores_high": SCALE_HIGH,
+            "pages": int(docs_level["low"]),
             "wall_low_sec": round(wl, 3),
             "wall_high_sec": round(wh, 3),
-            "wall_low_median_sec": round(ml, 3),
-            "wall_high_median_sec": round(mh, 3),
+            "walls_low_sec": [round(w, 3) for w in walls["low"]],
+            "walls_high_sec": [round(w, 3) for w in walls["high"]],
             "docs_per_sec_low": round(tl, 1),
             "docs_per_sec_high": round(th, 1),
-            "efficiency": round(th / tl / (nh / nl), 3),
-            "efficiency_median": round(ml / mh / (nh / nl), 3),
+            "efficiency": pair_eff[best_round],
+            "efficiency_pairs": pair_eff,
+            "efficiency_median": med,
         }
 
     out = {

@@ -40,8 +40,13 @@ def split_oversized(
 
     The threshold is the byte-length quantile, floored at 1 MiB so small
     test corpora don't split at all.  Callers process the oversized side
-    with ``repartition(count)`` (one page per task) and ``unionByName`` the
-    results — both sides run the same extraction stage.
+    with ``repartitionByRange(count, key)`` — range partitioning on the
+    unique page key puts EXACTLY one oversized page per task (plain
+    round-robin ``repartition(count)`` can still co-locate two) — and
+    ``unionByName`` the results; both sides run the same extraction
+    stage.  The sidecar's effect is measured in BENCH.md (skew fixture:
+    the straggler partition stops bounding the stage wall) and the
+    one-page-per-task layout is pinned in tests.
     """
     sized = pages.withColumn("_bytes", F.length("html"))
     (q,) = sized.approxQuantile("_bytes", [threshold_quantile], relative_error)

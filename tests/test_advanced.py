@@ -460,3 +460,43 @@ class TestStreamCuration:
         )
         q2.awaitTermination(120)
         assert spark.read.parquet(out).count() == len(stream_fps)
+
+    def test_stream_curate_matches_driver_oracle_query(self, spark, tmp_path):
+        """Tie the stream path to a HARD oracle transitively (VERDICT r5
+        #6): over the exact corpus_curation fixture (sf0.001 documents +
+        one replica each), the stream's surviving fingerprint set must
+        equal the fingerprint set of the corpus_curation driver query —
+        which the driver hash-checks against its DuckDB oracle every
+        round.  Stream keeps first-arrival, batch keeps min-id; the
+        digest set is the invariant both share."""
+        import pyspark.sql.functions as F2
+
+        import __spark_entry__ as entrymod
+        from tesseract_rs_spark.sources.pages import pages_from_documents
+        from tesseract_rs_spark.streaming.curation import stream_curate
+
+        sf = "/root/testdata/sf0.001"
+        inp, out, ckpt = (
+            str(tmp_path / "in"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )
+        docs = entrymod._docs(spark, sf)
+        dup = docs.withColumn("doc_id", F2.col("doc_id") + F2.lit(1_000_000))
+        pages_from_documents(
+            docs.unionByName(dup), para_words=entrymod.PARA_WORDS
+        ).drop("doc_id").write.parquet(inp)
+        q = stream_curate(spark, inp, out, ckpt)  # default quality/lang gate
+        q.awaitTermination(180)
+        stream_fps = {
+            r["fingerprint"]
+            for r in spark.read.parquet(out).select("fingerprint").collect()
+        }
+        oracle_fps = {
+            r["fingerprint"]
+            for r in entrymod._q_corpus_curation(spark, sf)
+            .select("fingerprint")
+            .collect()
+        }
+        assert stream_fps, "stream curation kept nothing from the fixture"
+        assert stream_fps == oracle_fps

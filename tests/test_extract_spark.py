@@ -124,6 +124,43 @@ def test_split_oversized(spark, corpus_dirs):
     assert merged == 64
 
 
+def test_oversized_sidecar_isolates_stragglers(spark):
+    """SURVEY §4.2 sidecar contract, pinned structurally: after the
+    split, the oversized side runs ONE page per task
+    (repartitionByRange on the unique url), so the stage wall is bounded
+    by the single largest page — not by whichever partition several big
+    pages happened to co-locate in.  The wall-clock effect is measured
+    in BENCH.md's skew-fixture entry; this test pins the layout that
+    produces it and that the sidecar union loses no rows."""
+    import pyspark.sql.functions as F2
+
+    from tesseract_rs_spark.sources.pages import pages_from_documents
+
+    small = spark.range(200).select(
+        F2.col("id").alias("doc_id"),
+        F2.lit("alpha beta gamma delta epsilon zeta eta theta").alias("text"),
+        F2.lit("en").alias("lang"),
+    )
+    bigtext = " ".join(f"w{i}" for i in range(40_000))
+    big = spark.range(3).select(
+        (F2.col("id") + 1000).alias("doc_id"),
+        F2.lit(bigtext).alias("text"),
+        F2.lit("en").alias("lang"),
+    )
+    pages = pages_from_documents(small.unionByName(big))
+    normal, oversized, threshold = split_oversized(
+        pages, threshold_quantile=0.95, min_threshold=50_000
+    )
+    n_over = oversized.count()
+    assert n_over == 3 and threshold >= 50_000
+    sizes = oversized.repartitionByRange(n_over, "url").rdd.glom().map(len).collect()
+    assert sorted(sizes) == [1, 1, 1], sizes  # one straggler per task
+    sidecar = extract_text(oversized.repartitionByRange(n_over, "url"))
+    merged = extract_text(normal).unionByName(sidecar)
+    assert merged.count() == 203
+    assert merged.filter(F2.col("status") != "ok").count() == 0
+
+
 def test_extract_text_hot_path_plan(spark, corpus_dirs):
     """The 100 TB hot-path plan contract: scan -> fused MapInPandas with
     ZERO exchanges (the only shuffle in the whole job is whatever the
