@@ -814,13 +814,17 @@ def _q_repeated_spans_m(spark, sf_dir):
     )
 
     docs = _docs(spark, sf_dir)
-    spans = repeated_ngram_spans(docs, n=3).select(
+    # mine the spans ONCE (localCheckpoint materializes the heavy
+    # cross-doc stage) and feed both branches — without this the scrub
+    # branch recomputes the whole mining job (review r5)
+    mined = repeated_ngram_spans(docs, n=3).localCheckpoint()
+    spans = mined.select(
         F.lit("span").alias("part"),
         "doc_id", "span_id", "tok_start", "tok_end",
         F.lit(None).cast("string").alias("clean_text"),
         F.lit(None).cast("long").alias("n_tokens_removed"),
     )
-    scrub = remove_repeated_spans(docs, n=3).select(
+    scrub = remove_repeated_spans(docs, n=3, spans=mined).select(
         F.lit("scrub").alias("part"),
         "doc_id",
         F.lit(None).cast("long").alias("span_id"),
@@ -962,11 +966,16 @@ def _q_dedup_embedding_m(spark, sf_dir):
     lsh = embedding_dup_pairs(emb, threshold=0.45).select(
         F.lit("lsh_pair").alias("method"), "id_a", "id_b"
     )
-    ivf = embedding_dup_pairs_ivf(
+    # mine the IVF pairs ONCE (localCheckpoint materializes quantizer
+    # training + the within-cell verify) and feed both the pair branch
+    # and semantic_dedup — without this the survivor branch re-trains
+    # and re-verifies the identical pair set (review r5)
+    ivf_pairs = embedding_dup_pairs_ivf(
         emb, threshold=0.45, n_centroids=1, train="kmeans"
-    ).select(F.lit("ivf_pair").alias("method"), "id_a", "id_b")
+    ).localCheckpoint()
+    ivf = ivf_pairs.select(F.lit("ivf_pair").alias("method"), "id_a", "id_b")
     surv = semantic_dedup(
-        emb, threshold=0.45, n_centroids=1, train="kmeans"
+        emb, threshold=0.45, n_centroids=1, train="kmeans", pairs=ivf_pairs
     ).select(
         F.lit("semantic_survivor").alias("method"),
         F.col("vec_id").alias("id_a"),

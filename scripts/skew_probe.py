@@ -75,9 +75,10 @@ def main() -> None:
 
     def run_sidecar() -> float:
         t0 = time.time()
-        # 4 big pages in 4004 rows sit inside the default 1%% quantile
-        # error band; tighten it so the 0.99 quantile reads the small-page
-        # mass, not the max (the 1 MiB floor then gates the split)
+        # the big pages are 6 of 4006 rows (~0.15%): inside the default
+        # 1-percent approxQuantile error band, the 0.99 quantile can read
+        # the MAX and swallow them into 'normal'; tighten the error so the
+        # quantile reads the small-page mass (the 1 MiB floor then gates)
         normal, oversized, _ = split_oversized(pages, relative_error=0.0005)
         n_over = oversized.count()
         assert n_over == N_BIG, n_over

@@ -85,6 +85,7 @@ def host_stats(
     docs: DataFrame,
     url_col: str = "url",
     token_col: str | None = None,
+    broadcast_hosts: bool = True,
 ) -> DataFrame:
     """Domain-level aggregation for host-based filtering (the Dolma /
     RefinedWeb pattern — public: domain blocklists and per-domain quality
@@ -100,7 +101,11 @@ def host_stats(
     by the heavily-skewed host key — the scale-safe plan is declared,
     not left to an AQE runtime rescue (VERDICT r4 #2; the no-shuffle
     shape is pinned in tests the way corpus_curation pins its single
-    Exchange)."""
+    Exchange).  ``broadcast_hosts=False`` is the escape hatch for
+    subdomain-grained corpora whose host table outgrows the broadcast
+    budget (a forced hint overrides autoBroadcastJoinThreshold and would
+    OOM the driver there): it falls back to the plain shuffle join and
+    AQE's skew handling."""
     # authority -> host: prefer an explicit scheme ('https://h/...'),
     # fall back to protocol-relative ('//h/...') and then to a bare
     # leading hostname-like token ('example.org/x' — common in crawl
@@ -140,7 +145,9 @@ def host_stats(
     if token_col is not None:
         aggs.append(F.sum(F.col(token_col)).alias("host_total_tokens"))
     per_host = with_host.groupBy("host").agg(*aggs)
-    return with_host.join(broadcast(per_host), "host")
+    if broadcast_hosts:
+        per_host = broadcast(per_host)
+    return with_host.join(per_host, "host")
 
 
 def flatten_extracted(extracted: DataFrame, col: str = "text") -> DataFrame:
@@ -266,7 +273,11 @@ def repeated_ngram_spans(
 
 
 def remove_repeated_spans(
-    docs: DataFrame, n: int = 3, id_col: str = "doc_id", col: str = "text"
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    col: str = "text",
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """The SCRUB half of Lee et al. 2022 substring dedup: excise every
     cross-document repeated n-gram span found by
@@ -279,8 +290,14 @@ def remove_repeated_spans(
     left-joins it by id, and membership is an ``exists`` over that array
     inside whole-stage codegen — no token-level range join; the ordered
     re-assembly is array_sort over per-doc collect_list (the same ordered
-    rollup idiom as the renderers), never a single-partition window."""
-    spans = repeated_ngram_spans(docs, n, id_col, col)
+    rollup idiom as the renderers), never a single-partition window.
+
+    ``spans``: optionally pass an already-computed span frame (the
+    :func:`repeated_ngram_spans` output for the SAME docs/n, e.g.
+    materialized by a caller that also reports the spans) so the heavy
+    cross-document mining stage runs once, not twice."""
+    if spans is None:
+        spans = repeated_ngram_spans(docs, n, id_col, col)
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("tok_start", "tok_end")).alias("_spans")
     )

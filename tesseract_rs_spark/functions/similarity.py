@@ -360,6 +360,20 @@ def ivf_centroids_kmeans(
     ``n_centroids`` distinct cells (clamped only by the CORPUS size when
     the corpus itself is smaller).  Fully deterministic: hash-ordered
     sample + index-tie-broken argmax, no RNG."""
+    if n_centroids > MAX_AUTO_NLIST:
+        # the budget gates EXPLICIT nlist too, not just the auto path: at
+        # nlist=500k the threaded sample is a multi-GB driver collect and
+        # each Lloyd iteration a (4M x 500k x dim) GEMM on ONE BLAS
+        # thread (session pins OPENBLAS_NUM_THREADS=1) — a driver hang,
+        # not a job.  (The ~10s budget calibration is dim=64; high-dim
+        # embeddings scale it linearly — another reason not to exceed it.)
+        raise ValueError(
+            f"n_centroids={n_centroids} exceeds the driver-Lloyd budget "
+            f"({MAX_AUTO_NLIST}): k-means training cost grows ~nlist^2 "
+            "driver-side. Use train='ids' (limit-collect codebook, no "
+            "Lloyd, any nlist) or train the codebook hierarchically / "
+            "distributed and pass it to ivf_assign directly."
+        )
     if n_centroids > sample_size:
         raise ValueError(
             f"n_centroids={n_centroids} exceeds sample_size={sample_size}: "
@@ -615,6 +629,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train: str = "kmeans",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end SemDeDup: cell-bucketed near-dup pairs -> connected
     components over the pair graph (chains collapse into ONE cluster) ->
@@ -634,12 +649,18 @@ def semantic_dedup(
     :func:`embedding_dup_pairs_ivf`).  Measured at 100k vectors on a
     pathologically duplicate-heavy corpus (92.6% collapse): nlist=64 ->
     250 s, nlist=512 -> 61 s with near-identical survivors (see
-    BENCH.md)."""
+    BENCH.md).
+
+    ``pairs``: optionally pass an already-mined (id_a, id_b) pair frame
+    (e.g. the :func:`embedding_dup_pairs_ivf` output a caller has
+    materialized for its own reporting) so the mining stage — quantizer
+    training included — runs once, not twice."""
     from tesseract_rs_spark.functions.dedup import dup_clusters
 
-    pairs = embedding_dup_pairs_ivf(
-        corpus, threshold, n_centroids, id_col, vec_col, train
-    )
+    if pairs is None:
+        pairs = embedding_dup_pairs_ivf(
+            corpus, threshold, n_centroids, id_col, vec_col, train
+        )
     clusters = dup_clusters(pairs)
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)

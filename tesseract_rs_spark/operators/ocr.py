@@ -57,6 +57,7 @@ def ocr_text(
                 extract_raster_doc(
                     p, whitelist=wl, timeout_ms=cfg.page_timeout_ms,
                     oem=cfg.oem, roi=cfg.roi_rect,
+                    orient_margin=cfg.min_orientation_margin,
                 )
                 for p in pdf[payload_col]
             ]
@@ -378,6 +379,7 @@ def ocr_words(
                 extract_raster_doc(
                     p, whitelist=wl, timeout_ms=cfg.page_timeout_ms, langs=langs,
                     oem=cfg.oem, roi=cfg.roi_rect,
+                    orient_margin=cfg.min_orientation_margin,
                 )
                 for p in pdf[payload_col]
             ]

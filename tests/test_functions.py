@@ -832,24 +832,41 @@ def test_ivf_kmeans_sample_threading(emb):
         n_iters=3,
     )
     assert len(cents) == want
-    for n in (1, 10_000, 1_000_000, 50_000_000):
-        assert kmeans_sample_size(auto_nlist_quiet(n)) >= (
-            KMEANS_OVERSAMPLE * auto_nlist_quiet(n)
-        )
+    # (b2) pin that the AUTO paths actually PASS the threaded sample —
+    # this is the exact edit whose omission was the r4 bug: capture the
+    # sample_size each caller hands to the trainer at an nlist above the
+    # old fixed 4096 default
+    import tesseract_rs_spark.functions.similarity as sim
+
+    captured = []
+    real_trainer = sim.ivf_centroids_kmeans
+
+    def spy(corpus, n_centroids=16, sample_size=4096, **kw):
+        captured.append((n_centroids, sample_size))
+        return real_trainer(corpus, 2, sample_size=64, **kw)
+
+    old = sim.ivf_centroids_kmeans
+    sim.ivf_centroids_kmeans = spy
+    try:
+        sim.embedding_dup_pairs_ivf(emb, n_centroids=6000).count()
+        sim.ann_ivf_topk(
+            emb, emb.limit(2), k=1, n_centroids=6000, train="kmeans"
+        ).count()
+    finally:
+        sim.ivf_centroids_kmeans = old
+    assert captured == [(6000, 48000), (6000, 48000)], captured
     # (c) auto_nlist: ~256-member cells, then the documented cap + warning
     assert auto_nlist(1000) == 4 and auto_nlist(1_000_000) == 3906
+    assert kmeans_sample_size(3906) == KMEANS_OVERSAMPLE * 3906
     with _pytest.warns(UserWarning, match="capped"):
         assert auto_nlist(100_000_000) == MAX_AUTO_NLIST
-
-
-def auto_nlist_quiet(n):
-    import warnings
-
-    from tesseract_rs_spark.functions.similarity import auto_nlist
-
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")
-        return auto_nlist(n)
+    # (d) explicit nlist above the driver-Lloyd budget is rejected too
+    # (an uncapped explicit request would be a driver hang, review r5)
+    with _pytest.raises(ValueError, match="driver-Lloyd budget"):
+        ivf_centroids_kmeans(
+            emb, n_centroids=MAX_AUTO_NLIST + 1,
+            sample_size=kmeans_sample_size(MAX_AUTO_NLIST + 1),
+        )
 
 
 def test_corpus_fluency_signals(spark):
