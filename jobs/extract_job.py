@@ -13,7 +13,11 @@ protocol and RESUMES after interruption (north rule: resumable from
 checkpoint with per-partition lineage + metrics).  Without it, one fused
 pass writes straight to ``--output``.  ``--curate`` appends the one-pass
 curation stage (quality + language filter + exact keep-first dedup) to
-the extracted text before writing.
+the extracted text before writing; ``--fuzzy-dedup T`` extends it with
+near-duplicate removal (MinHash-LSH pairs at Jaccard >= T -> connected
+components -> minimum-url survivor per component) — the full
+extract -> curate -> fuzzy-dedup pretraining-corpus pipeline as one
+command.
 """
 
 from __future__ import annotations
@@ -51,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run the one-pass curation stage (quality + language "
                         "filter + exact keep-first dedup) over the extracted "
                         "text before writing (text format only)")
+    p.add_argument("--fuzzy-dedup", type=float, default=None, metavar="T",
+                   help="after curation, drop near-duplicate documents: "
+                        "MinHash-LSH candidate pairs at Jaccard >= T, "
+                        "connected components over the pair graph, keep "
+                        "the minimum-url survivor per component "
+                        "(requires --curate)")
     p.add_argument("--min-quality", type=int, default=55)
     p.add_argument("--keep-langs", default="en",
                    help="comma-separated language codes curation keeps")
@@ -60,6 +70,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.fuzzy_dedup is not None and not args.curate:
+        print(
+            "error: --fuzzy-dedup requires --curate (it runs over the "
+            "curated, flattened text)",
+            file=sys.stderr,
+        )
+        return 2
     if args.curate and (args.payload == "raster" or args.output_format != "text"):
         # validate BEFORE building a session: a silent no-op would ship
         # uncurated data the user believes is filtered and deduped, and
@@ -114,7 +131,7 @@ def main(argv=None) -> int:
             return extracted
         from tesseract_rs_spark.functions.cleaning import curate, flatten_extracted
 
-        return curate(
+        curated = curate(
             flatten_extracted(extracted),
             id_col="url",
             min_quality=args.min_quality,
@@ -122,6 +139,27 @@ def main(argv=None) -> int:
                 s.strip() for s in args.keep_langs.split(",") if s.strip()
             ),
         )
+        if args.fuzzy_dedup is None:
+            return curated
+        # near-dup stage: bucketed MinHash-LSH pairs (never all-pairs),
+        # components collapse chains, minimum url survives per component
+        # — string ids order lexicographically, deterministic
+        import pyspark.sql.functions as F
+
+        from tesseract_rs_spark.functions.dedup import (
+            dup_clusters,
+            minhash_dedup_pairs,
+        )
+
+        pairs = minhash_dedup_pairs(
+            curated, threshold=args.fuzzy_dedup, id_col="url"
+        ).select("id_a", "id_b")
+        losers = (
+            dup_clusters(pairs)
+            .filter("doc_id != cluster_id")
+            .select(F.col("doc_id").alias("url"))
+        )
+        return curated.join(losers, "url", "left_anti")
 
     pages = spark.read.parquet(args.input)
     t0 = time.time()

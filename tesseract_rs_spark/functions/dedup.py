@@ -251,8 +251,12 @@ def minhash_signatures(
     Shingle hashing happens JVM-side (``xxhash64`` over the shingle array —
     zero Python hashing); the Python stage is one uint64 numpy broadcast
     ``min((a*h32 + b) mod (2^61-1))`` per doc — no object dtype, no Python
-    bigints (the round-1 weak spot)."""
+    bigints (the round-1 weak spot).  The id column keeps its INPUT type
+    (numeric doc ids and string urls both work — a hardcoded long schema
+    silently casts url keys to BIGINT in the downstream verify joins and
+    crashes on real urls, found via the CLI --fuzzy-dedup stage r5)."""
     a_params, b_params = _hash_params(num_hashes, seed)
+    id_type = docs.schema[id_col].dataType.simpleString()
     with_sh = docs.select(
         F.col(id_col),
         F.transform(word_shingles("text", n), lambda s: F.xxhash64(s)).alias("_sh"),
@@ -275,7 +279,9 @@ def minhash_signatures(
                 ids.append(doc_id)
             yield pd.DataFrame({id_col: ids, "sig": sigs})
 
-    return with_sh.mapInPandas(gen, schema=f"{id_col} long, sig array<long>")
+    return with_sh.mapInPandas(
+        gen, schema=f"{id_col} {id_type}, sig array<long>"
+    )
 
 
 def lsh_candidate_pairs(

@@ -226,6 +226,7 @@ def lsh_signatures(
     Arrow batch; the planes are a broadcast-sized seeded constant."""
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(dim, n_tables * n_planes))
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         weights = (1 << np.arange(n_planes)).astype(np.int64)
@@ -246,7 +247,7 @@ def lsh_signatures(
             )
 
     return df.select(id_col, vec_col).mapInPandas(
-        gen, schema=f"{id_col} long, table long, bucket long"
+        gen, schema=f"{id_col} {id_type}, table long, bucket long"
     )
 
 
@@ -450,6 +451,7 @@ def ivf_assign(
     cn[cn == 0.0] = 1.0
     cids = np.array([i for i, _ in centroids], dtype=np.int64)
     nprobe = min(nprobe, len(cids))
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -473,7 +475,7 @@ def ivf_assign(
             )
 
     return df.select(id_col, vec_col).mapInPandas(
-        gen, schema=f"{id_col} long, cell long"
+        gen, schema=f"{id_col} {id_type}, cell long"
     )
 
 

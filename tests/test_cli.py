@@ -97,6 +97,63 @@ def test_cli_curate_stage(tmp_path, spark):
     assert res.select("fingerprint").distinct().count() == n
 
 
+def test_cli_fuzzy_dedup_stage(tmp_path, spark):
+    """--fuzzy-dedup after --curate: a planted near-duplicate (one word
+    changed — exact dedup can NOT catch it) collapses to its minimum-url
+    survivor while the unrelated doc survives; without --curate the flag
+    refuses."""
+    sys.path.insert(0, REPO)
+    import importlib
+
+    import pyspark.sql.functions as F
+
+    from tesseract_rs_spark.sources.pages import pages_from_documents
+
+    extract_job = importlib.import_module("jobs.extract_job")
+    base = (
+        "the cat is of the house and the dog is of the yard "
+        "the bird is of the tree and the fish is of the pond "
+        "the fox is of the wood and the owl is of the barn"
+    )
+    near = base.rsplit(" ", 1)[0] + " loft"  # one word differs
+    other = (
+        "a table is of a room and a chair is of a hall "
+        "a lamp is of a desk and a rug is of a floor "
+        "a door is of a wall and a clock is of a shelf"
+    )
+    docs = spark.createDataFrame(
+        [(0, base, "en"), (1, near, "en"), (2, other, "en")],
+        "doc_id long, text string, lang string",
+    )
+    pages_path = str(tmp_path / "pages_fuzzy.parquet")
+    pages_from_documents(docs).drop("doc_id").write.parquet(pages_path)
+    out = str(tmp_path / "out_fuzzy")
+    rc = extract_job.main(
+        [
+            "--input", pages_path,
+            "--output", out,
+            "--output-format", "text",
+            "--curate", "--min-quality", "0", "--keep-langs", "en",
+            "--fuzzy-dedup", "0.8",
+            "--master", "4",
+        ]
+    )
+    assert rc == 0
+    res = spark.read.parquet(out)
+    assert res.count() == 2  # base+near collapsed, other kept
+    kept_urls = {r["url"] for r in res.select("url").collect()}
+    # the minimum url of the near-dup component survives
+    assert len([u for u in kept_urls if "doc0" in u or "0" in u]) >= 1
+    # refuse without --curate
+    rc2 = extract_job.main(
+        [
+            "--input", pages_path, "--output", out,
+            "--fuzzy-dedup", "0.8", "--master", "2",
+        ]
+    )
+    assert rc2 == 2
+
+
 def test_cli_curate_rejects_unsupported_combination(tmp_path):
     """--curate with the raster payload (or a non-text format) must refuse
     rather than silently ship uncurated output (review r4)."""

@@ -993,6 +993,80 @@ def test_host_stats_schemeless_urls(spark):
     assert out[6]["host"] == "" and out[7]["host"] == ""
 
 
+def test_dedup_family_string_ids(spark):
+    """Dedup/similarity stages must accept STRING ids (urls are the
+    natural key of a crawl corpus): the signature/assign mapInPandas
+    schemas previously hardcoded `id long`, which made the downstream
+    verify joins CAST url keys to BIGINT and crash on real urls
+    (found r5 via the CLI --fuzzy-dedup stage)."""
+    import pyspark.sql.functions as F2
+
+    from tesseract_rs_spark.functions.dedup import minhash_dedup_pairs
+    from tesseract_rs_spark.functions.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        lsh_signatures,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            ("https://a.example.org/1", text),
+            ("https://b.example.org/2", text),
+            ("https://c.example.org/3", "completely different words here"),
+        ],
+        "url string, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_pairs(docs, threshold=0.8, id_col="url").collect()
+    }
+    assert pairs == {("https://a.example.org/1", "https://b.example.org/2")}
+    emb = spark.createDataFrame(
+        [("u-a", [1.0, 0.0]), ("u-b", [0.0, 1.0])],
+        "url string, embedding array<double>",
+    )
+    sigs = lsh_signatures(emb, 2, 2, id_col="url", dim=2).collect()
+    assert {r["url"] for r in sigs} == {"u-a", "u-b"}
+    cells = ivf_assign(
+        emb, ivf_centroids(emb, 2, "url", "embedding"), 1, "url", "embedding"
+    ).collect()
+    assert {r["url"] for r in cells} == {"u-a", "u-b"}
+
+
+def test_host_stats_adversarial_urls(spark):
+    """Row preservation under hostile urls — the regression class that
+    matters at crawl scale (a parse quirk that drops rows silently loses
+    corpus).  One job over a generated adversarial corpus; invariants:
+    every row survives, hosts are lowercase, and a host never contains
+    path/query/fragment characters or userinfo."""
+    from tesseract_rs_spark.functions.cleaning import host_stats
+
+    urls = [
+        None, "", " ", "https://", "http:///path", "://x", "//",
+        "//host.org", "a.b", "a.b.", ".a.b", "a..b", "x" * 500,
+        "http://a b.c/d", "https://user:pw@Host.ORG:443/x?q=1#f",
+        "ftp://weird.example/",
+        "scheme+odd.v2://h.example.org/p", "HtTpS://MiXeD.CaSe/Path",
+        "//user@cdn.example.com:8080/y", "example.org:notaport/x",
+        "tel:+155555", "mailto:a@b.c", "data:text/plain,hi",
+        "http://[::1]/v6", "http://...", "?query=only", "#frag-only",
+        "/rooted/path", "rel/path", "例え.テスト/x", "http://例え.テスト/x",
+        "https://a.example.org/##", "https://a.example.org?" ,
+    ]
+    docs = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+    )
+    out = host_stats(docs).collect()
+    assert len(out) == len(urls)  # no row lost, ever
+    assert sorted(r["doc_id"] for r in out) == list(range(len(urls)))
+    for r in out:
+        h = r["host"]
+        assert h is not None and h == h.lower()
+        assert not any(c in h for c in "/?#@")
+        assert r["host_n_docs"] >= 1
+
+
 def test_host_stats_broadcast_plan(spark):
     """VERDICT r4 #2: the join back must BROADCAST the per-host counter
     table — the document side (multi-KB text rows, skewed host key) may
