@@ -608,12 +608,11 @@ def _q_ocr_layout_m(spark, sf_dir):
     from tesseract_rs_spark.operators.assemble import level_confidence
 
     pages = raster_pages_from_documents(_docs(spark, sf_dir), WPL, LPP)
-    layout = ocr_layout(pages, id_cols=("doc_id",))
     words = ocr_words(pages, id_cols=("doc_id",))
     conf = level_confidence(
         words, key="doc_id", level_cols=("para_id",)
     ).select("doc_id", "para_id", F.col("level_conf").alias("para_conf"))
-    return layout.join(conf, ["doc_id", "para_id"])
+    return _q_ocr_layout(spark, sf_dir).join(conf, ["doc_id", "para_id"])
 
 
 def _q_ocr_osd(spark, sf_dir):
@@ -640,10 +639,7 @@ def _q_ocr_osd_m(spark, sf_dir):
     pages = raster_pages_from_documents(
         _docs(spark, sf_dir), WPL, LPP, rotate_mod4=True
     )
-    base = ocr_osd(pages, id_cols=("doc_id",)).select(
-        "doc_id", "orientation_deg", "script", "writing_direction",
-        "textline_order", "text",
-    )
+    base = _q_ocr_osd(spark, sf_dir)
     pinned_cfg = ExtractConfig().with_variable("min_orientation_margin", "1000")
     pinned = ocr_osd(pages, pinned_cfg, id_cols=("doc_id",)).select(
         "doc_id", F.col("orientation_deg").alias("orientation_deg_margin")

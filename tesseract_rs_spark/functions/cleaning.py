@@ -81,6 +81,89 @@ def latest_snapshot(
     )
 
 
+def host_expr(url_col: str = "url"):
+    """Lowercased host parsed from a url column, as a pure codegen
+    Column: explicit scheme ('https://h/...'), protocol-relative
+    ('//h/...'), or a bare leading hostname-like token ('example.org/x'
+    — common in crawl link data; ADVICE r4: requiring a scheme silently
+    dumped those into the '' bucket, so domain blocklists missed them).
+    The bare form must contain a dot so relative paths ('about/x') stay
+    out.  Userinfo ('user@') and numeric ports (':8443') are stripped so
+    one registered domain never splits into several groups; NULL and
+    unparseable urls yield '' (not NULL — a null-unsafe equi-join
+    downstream would silently drop those rows)."""
+    authority = F.regexp_extract(
+        F.col(url_col), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1
+    )
+    rel_authority = F.regexp_extract(F.col(url_col), "^//([^/?#]+)", 1)
+    bare_host = F.regexp_extract(
+        F.col(url_col),
+        "^([a-zA-Z0-9-]+(\\.[a-zA-Z0-9-]+)+(:[0-9]+)?)([/?#].*)?$",
+        1,
+    )
+    picked = (
+        F.when(authority != "", authority)
+        .when(rel_authority != "", rel_authority)
+        .otherwise(bare_host)
+    )
+    return F.coalesce(
+        F.lower(
+            F.regexp_replace(
+                F.regexp_replace(picked, "^[^@]*@", ""), ":[0-9]+$", ""
+            )
+        ),
+        F.lit(""),
+    )
+
+
+def host_suffixes(host):
+    """All dot-suffixes of a host as an array column ('a.b.example.org'
+    -> [a.b.example.org, b.example.org, example.org, org]) — the equi-
+    joinable form of "this registered domain, subdomains included": a
+    blocklist entry matches iff it appears among the suffixes, with no
+    substring false-positives ('example.org' never matches
+    'badexample.org')."""
+    parts = F.split(host, "\\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(parts, i + 1, n - i), "."),
+    )
+
+
+def filter_by_hosts(
+    docs: DataFrame,
+    blocked,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    keep: bool = False,
+) -> DataFrame:
+    """Dolma/RefinedWeb-style domain filter: drop (``keep=False``,
+    blocklist) or keep only (``keep=True``, allowlist) documents whose
+    url host matches an entry — registered domains match their
+    subdomains via the :func:`host_suffixes` expansion, never substring
+    matching.
+
+    ``blocked`` is either a small python iterable of lowercase hosts
+    (inlined as an array literal — ``arrays_overlap`` in whole-stage
+    codegen, zero shuffle) or a single-column ``host`` DataFrame for
+    list sizes beyond literal-expression scale (UCSB-style megalists):
+    that path explodes each doc's handful of suffixes, broadcast
+    semi-joins the list, and anti/semi-joins the matched ``id_col`` set
+    back — the corpus never shuffles, only (id, suffix) pairs flow."""
+    host = host_expr(url_col)
+    if isinstance(blocked, DataFrame):
+        sufx = docs.select(
+            F.col(id_col), F.explode(host_suffixes(host)).alias("host")
+        )
+        bl = broadcast(blocked.select(F.lower(F.col("host")).alias("host")))
+        hit_ids = sufx.join(bl, "host", "left_semi").select(id_col).distinct()
+        return docs.join(hit_ids, id_col, "left_semi" if keep else "left_anti")
+    arr = F.array(*[F.lit(str(h).lower()) for h in blocked])
+    hit = F.arrays_overlap(host_suffixes(host), arr)
+    return docs.filter(hit if keep else ~hit)
+
+
 def host_stats(
     docs: DataFrame,
     url_col: str = "url",
@@ -106,41 +189,7 @@ def host_stats(
     budget (a forced hint overrides autoBroadcastJoinThreshold and would
     OOM the driver there): it falls back to the plain shuffle join and
     AQE's skew handling."""
-    # authority -> host: prefer an explicit scheme ('https://h/...'),
-    # fall back to protocol-relative ('//h/...') and then to a bare
-    # leading hostname-like token ('example.org/x' — common in crawl
-    # link data; ADVICE r4: requiring a scheme silently dumped those
-    # into the '' bucket, so domain blocklists missed them).  The bare
-    # form must contain a dot to avoid eating relative paths ('about/x')
-    authority = F.regexp_extract(
-        F.col(url_col), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1
-    )
-    rel_authority = F.regexp_extract(F.col(url_col), "^//([^/?#]+)", 1)
-    bare_host = F.regexp_extract(
-        F.col(url_col),
-        "^([a-zA-Z0-9-]+(\\.[a-zA-Z0-9-]+)+(:[0-9]+)?)([/?#].*)?$",
-        1,
-    )
-    picked = (
-        F.when(authority != "", authority)
-        .when(rel_authority != "", rel_authority)
-        .otherwise(bare_host)
-    )
-    # strip userinfo ('user@') and port (':8443') so one registered
-    # domain never splits into several aggregate groups (a blocklist
-    # keyed on the split counts would mis-fire, review r4); coalesce to
-    # '': a NULL url must group under the empty host like any other
-    # unparseable url — a null-unsafe equi-join back would silently
-    # drop those rows from the corpus
-    host = F.coalesce(
-        F.lower(
-            F.regexp_replace(
-                F.regexp_replace(picked, "^[^@]*@", ""), ":[0-9]+$", ""
-            )
-        ),
-        F.lit(""),
-    )
-    with_host = docs.withColumn("host", host)
+    with_host = docs.withColumn("host", host_expr(url_col))
     aggs = [F.count("*").alias("host_n_docs")]
     if token_col is not None:
         aggs.append(F.sum(F.col(token_col)).alias("host_total_tokens"))

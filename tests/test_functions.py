@@ -993,6 +993,51 @@ def test_host_stats_schemeless_urls(spark):
     assert out[6]["host"] == "" and out[7]["host"] == ""
 
 
+def test_filter_by_hosts(spark):
+    """Domain blocklist/allowlist: a registered-domain entry matches
+    itself AND its subdomains via the suffix expansion (never substring
+    — 'badexample.org' survives an 'example.org' block), both the
+    literal-array path and the broadcast-DataFrame path; keep=True flips
+    block into allow.  The DataFrame path's plan must not shuffle the
+    corpus (broadcast semi-join + id join back only)."""
+    import pyspark.sql.functions as F2
+
+    from tesseract_rs_spark.functions.cleaning import filter_by_hosts
+
+    docs = spark.createDataFrame(
+        [
+            (0, "https://example.org/a"),
+            (1, "https://sub.example.org/b"),
+            (2, "https://badexample.org/c"),
+            (3, "spam.net/d"),
+            (4, "https://fine.io/e"),
+            (5, None),
+        ],
+        "doc_id long, url string",
+    )
+    blocked = ["example.org", "spam.net"]
+    kept = {r["doc_id"] for r in filter_by_hosts(docs, blocked).collect()}
+    assert kept == {2, 4, 5}
+    allowed = {
+        r["doc_id"] for r in filter_by_hosts(docs, blocked, keep=True).collect()
+    }
+    assert allowed == {0, 1, 3}
+    bl_df = spark.createDataFrame([("Example.ORG",), ("spam.net",)], "host string")
+    kept_df = {r["doc_id"] for r in filter_by_hosts(docs, bl_df).collect()}
+    assert kept_df == {2, 4, 5}
+    allowed_df = {
+        r["doc_id"] for r in filter_by_hosts(docs, bl_df, keep=True).collect()
+    }
+    assert allowed_df == {0, 1, 3}
+    plan = (
+        filter_by_hosts(docs, bl_df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
 def test_dedup_family_string_ids(spark):
     """Dedup/similarity stages must accept STRING ids (urls are the
     natural key of a crawl corpus): the signature/assign mapInPandas
