@@ -141,6 +141,12 @@ def main(argv=None) -> int:
         )
         if args.fuzzy_dedup is None:
             return curated
+        # materialize the (small) curated survivor set once: the pair
+        # mining below scans it several times (signatures, shingle table
+        # twice, sizes, join-back), and each un-materialized scan would
+        # re-run the FULL upstream extraction — measured 40 s -> 13 s at
+        # 400k pages (r5)
+        curated = curated.localCheckpoint()
         # near-dup stage: bucketed MinHash-LSH pairs (never all-pairs),
         # components collapse chains, minimum url survives per component
         # — string ids order lexicographically, deterministic

@@ -993,6 +993,40 @@ def test_host_stats_schemeless_urls(spark):
     assert out[6]["host"] == "" and out[7]["host"] == ""
 
 
+def test_remove_repeated_spans_token_conservation(spark):
+    """Seeded random corpus from a tiny vocabulary (dense cross-doc
+    repeats): for EVERY document, kept tokens + removed tokens must equal
+    the original token count, kept tokens must be a subsequence of the
+    original, and a fully-scrubbed doc reads '' — the invariants that
+    hold for any input, not just the hand-built fixtures."""
+    import numpy as np
+
+    from tesseract_rs_spark.functions.cleaning import remove_repeated_spans
+
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(60):
+        n = int(rng.randint(5, 60))
+        rows.append((i, " ".join(vocab[j] for j in rng.randint(0, 30, n))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = dict(rows)
+    out = {r["doc_id"]: r for r in remove_repeated_spans(docs, n=3).collect()}
+    assert set(out) == set(orig)
+    removed_total = 0
+    for i, text in orig.items():
+        toks = text.split(" ")
+        clean = out[i]["clean_text"]
+        kept = clean.split(" ") if clean else []
+        removed = out[i]["n_tokens_removed"]
+        removed_total += removed
+        assert len(kept) + removed == len(toks), i
+        # kept tokens are a subsequence of the original token stream
+        it = iter(toks)
+        assert all(w in it for w in kept), i
+    assert removed_total > 0  # the dense vocab guarantees repeats
+
+
 def test_filter_by_hosts(spark):
     """Domain blocklist/allowlist: a registered-domain entry matches
     itself AND its subdomains via the suffix expansion (never substring
