@@ -1989,8 +1989,8 @@ def _oracle_parts() -> dict[str, str]:
         ),
         kinds(kind, extension) AS (
           VALUES ('alto', 'xml'), ('box', 'box'), ('hocr', 'hocr'),
-                 ('lstm_box', 'box'), ('text', 'txt'), ('tsv', 'tsv'),
-                 ('unlv', 'unlv'), ('wordstr_box', 'box')
+                 ('lstm_box', 'box'), ('pdf', 'pdf'), ('text', 'txt'),
+                 ('tsv', 'tsv'), ('unlv', 'unlv'), ('wordstr_box', 'box')
         )
         SELECT p.doc_id, p.page_num, p.page_num AS image_num,
                k.kind, k.extension,

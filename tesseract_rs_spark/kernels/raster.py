@@ -368,6 +368,35 @@ def fit_baseline(glyphs) -> int:
     return int(round(ym + (num / den) * (xs[0] - xm)))
 
 
+def register_atlas(name: str, atlas: dict) -> None:
+    """Register a LEARNED glyph atlas as a decode language (the adaptive-
+    classifier half of adapt_to_word_str, re-expressed — see
+    operators/adaptive.py).  ``atlas`` maps chars (subset of CHARSET) to
+    (GLYPH_H, GLYPH_W) boolean masks; unlearned chars get an all-ink
+    template, the worst possible match for any sparse glyph cell, so the
+    per-word language vote falls back to an embedded model for words the
+    adaptation has not seen.  Registration is worker-local and
+    idempotent (each executor registers from the broadcast dict before
+    decoding).  The OSD scorer intentionally stays on the EMBEDDED
+    models only (_ALL_LANG_FLAT is not extended): orientation detection
+    must not depend on which adaptations happen to be loaded."""
+    flat = np.ones((len(CHARSET), GLYPH_H * GLYPH_W), dtype=np.int16)
+    for ch, mask in atlas.items():
+        i = CHARSET.find(ch)
+        if i < 0:
+            raise ValueError(f"adapted glyph {ch!r} is not in the charset")
+        m = np.asarray(mask, dtype=bool)
+        if m.shape != (GLYPH_H, GLYPH_W):
+            raise ValueError(
+                f"adapted glyph {ch!r} has shape {m.shape}, "
+                f"want {(GLYPH_H, GLYPH_W)}"
+            )
+        flat[i] = m.reshape(-1)
+    LANG_ATLASES[name] = flat
+    LANG_SUMS[name] = flat.sum(axis=1).astype(np.int32)
+    LANG_ATLASES_F32[name] = flat.astype(np.float32)
+
+
 _ATLAS_SUMS = _ATLAS_FLAT.sum(axis=1).astype(np.int32)  # ink per template
 LANG_SUMS = {
     lang: flat.sum(axis=1).astype(np.int32) for lang, flat in LANG_ATLASES.items()

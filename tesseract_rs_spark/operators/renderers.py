@@ -29,6 +29,7 @@ RENDERER_EXTENSIONS = {
     "box": "box",
     "lstm_box": "box",
     "wordstr_box": "box",
+    "pdf": "pdf",
 }
 
 
@@ -352,4 +353,100 @@ def render_unlv(words: DataFrame, key: str = "url") -> DataFrame:
             ),
             "\n",
         ).alias("unlv")
+    )
+
+
+def _pdf_escape(w: str) -> str:
+    """PDF literal-string escaping: backslash first, then parens."""
+    return w.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+
+def pdf_bytes(page_w: int, page_h: int, rows, title: str = "") -> bytes:
+    """One deterministic, valid PDF 1.4 with a positioned text layer —
+    the byte-assembly half of :func:`render_pdf` (driver-free, unit
+    testable).  ``rows`` = [(x, y_baseline_from_bottom, word)] in reading
+    order.  Every object offset in the xref is computed exactly, so the
+    output parses in strict readers and is byte-reproducible (the same
+    determinism contract as every other renderer)."""
+    from tesseract_rs_spark.kernels.raster import GLYPH_H
+
+    body = "".join(
+        "1 0 0 1 %d %d Tm (%s) Tj\n" % (x, y, _pdf_escape(w))
+        for x, y, w in rows
+    )
+    content = ("BT\n/F1 %d Tf\n" % GLYPH_H) + body + "ET"
+    cbytes = content.encode("latin-1", "replace")
+    info = (
+        "<< /Title (%s) >>" % _pdf_escape(title) if title else "<< >>"
+    ).encode("latin-1", "replace")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (
+            "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d] "
+            "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
+            % (page_w, page_h)
+        ).encode(),
+        b"<< /Length %d >>\nstream\n" % len(cbytes) + cbytes + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        info,
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, obj in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += ("%d 0 obj\n" % i).encode() + obj + b"\nendobj\n"
+    xref_off = len(out)
+    out += ("xref\n0 %d\n" % (len(objs) + 1)).encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += ("%010d 00000 n \n" % off).encode()
+    out += (
+        "trailer\n<< /Size %d /Root 1 0 R /Info 6 0 R >>\nstartxref\n%d\n%%%%EOF"
+        % (len(objs) + 1, xref_off)
+    ).encode()
+    return bytes(out)
+
+
+def render_pdf(words: DataFrame, key: str = "url", title: str = "") -> DataFrame:
+    """PDF renderer — the ``textonly`` mode of the reference's
+    TessPDFRenderer (``new_pdf_renderer(outputbase, datadir, textonly)``,
+    /root/reference/src/result_renderer.rs:69-82): one searchable PDF per
+    document with every recognized word placed at its page coordinates
+    (PDF's bottom-left origin — the same y-flip as the box renderer),
+    begin_document's title in the Info dictionary.  ``textonly=false``
+    (page image embedded under an invisible text layer) is out of scope:
+    the text layer IS the content this engine exists to extract.
+
+    (key, pdf binary).  Byte assembly needs imperative offset arithmetic
+    (the xref), so this is the one renderer that runs as grouped
+    ``applyInPandas`` instead of a string-template aggregation — one
+    Python call per DOCUMENT (not per word), emitting a single binary;
+    the group key is the document id, so the shuffle is the same
+    per-document exchange every ordered rollup renderer pays."""
+    import pandas as pd
+
+    key_type = words.schema[key].dataType.simpleString()
+    sel = words.select(
+        key, "block_id", "para_id", "line_id", "word_id", "word",
+        "left", "bottom", "page_width", "page_height",
+    )
+
+    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["block_id", "para_id", "line_id", "word_id"])
+        page_w = int(pdf["page_width"].iloc[0])
+        page_h = int(pdf["page_height"].iloc[0])
+        rows = [
+            (int(x), page_h - int(b), str(w))
+            for x, b, w in zip(pdf["left"], pdf["bottom"], pdf["word"])
+        ]
+        return pd.DataFrame(
+            {
+                key: [pdf[key].iloc[0]],
+                "pdf": [pdf_bytes(page_w, page_h, rows, title)],
+            }
+        )
+
+    return sel.groupBy(key).applyInPandas(
+        gen, schema=f"{key} {key_type}, pdf binary"
     )

@@ -93,3 +93,77 @@ def test_spans_present_and_ordered(words):
         (F.col("span_start") < 0) | (F.col("span_end") <= F.col("span_start"))
     ).count()
     assert bad == 0
+
+
+class TestPdfRenderer:
+    """Textonly-PDF renderer (new_pdf_renderer(..., textonly=true) analog,
+    /root/reference/src/result_renderer.rs:69-82): valid byte structure,
+    exact xref offsets, reading-order text layer, deterministic bytes."""
+
+    def _rows(self):
+        return [(16, 200, "hello"), (120, 200, "world"), (16, 160, "a(b)c\\d")]
+
+    def test_structure_and_xref(self):
+        import re
+
+        from tesseract_rs_spark.operators.renderers import pdf_bytes
+
+        pdf = pdf_bytes(400, 240, self._rows(), title="doc-7")
+        assert pdf.startswith(b"%PDF-1.4\n") and pdf.endswith(b"%%EOF")
+        # every xref entry points exactly at its "i 0 obj" header
+        m = re.search(rb"xref\n0 (\d+)\n", pdf)
+        n = int(m.group(1))
+        table = pdf[m.end():].split(b"\n")
+        for i in range(1, n):
+            off = int(table[i][:10])
+            assert pdf[off:].startswith(b"%d 0 obj" % i), i
+        # startxref points at the xref table itself
+        sx = int(re.search(rb"startxref\n(\d+)\n", pdf).group(1))
+        assert pdf[sx:].startswith(b"xref")
+        # declared stream /Length equals the exact stream byte count
+        lm = re.search(rb"/Length (\d+) >>\nstream\n", pdf)
+        stream = pdf[lm.end(): lm.end() + int(lm.group(1))]
+        assert pdf[lm.end() + int(lm.group(1)):].startswith(b"\nendstream")
+        # text layer round-trip: unescape the Tj strings in order
+        got = [
+            g.replace(b"\\(", b"(").replace(b"\\)", b")").replace(b"\\\\", b"\\")
+            for g in re.findall(rb"\((.*?[^\\])\) Tj", stream)
+        ]
+        assert got == [w.encode() for _, _, w in self._rows()]
+        assert b"/Title (doc-7)" in pdf
+        assert pdf == pdf_bytes(400, 240, self._rows(), title="doc-7")
+
+    def test_render_pdf_operator(self, spark):
+        """Grouped applyInPandas path over a raster-shaped word table:
+        one PDF per key, y flipped to PDF's bottom-left origin, reading
+        order preserved across shuffled input order."""
+        import re
+
+        from tesseract_rs_spark.operators.renderers import render_pdf
+
+        rows = [
+            # (url, block, para, line, word, text, left, bottom, W, H)
+            ("u1", 0, 0, 1, 0, "second", 16, 76, 400, 120),
+            ("u1", 0, 0, 0, 1, "line", 120, 40, 400, 120),
+            ("u1", 0, 0, 0, 0, "first", 16, 40, 400, 120),
+            ("u2", 0, 0, 0, 0, "solo", 16, 40, 200, 80),
+        ]
+        words = spark.createDataFrame(
+            rows,
+            "url string, block_id long, para_id long, line_id long, "
+            "word_id long, word string, left long, bottom long, "
+            "page_width long, page_height long",
+        ).repartition(4)
+        out = {r["url"]: bytes(r["pdf"]) for r in render_pdf(words).collect()}
+        assert set(out) == {"u1", "u2"}
+        texts = re.findall(rb"\((.*?)\) Tj", out["u1"])
+        assert texts == [b"first", b"line", b"second"]
+        # y is flipped against page height (120 - 40 = 80, 120 - 76 = 44)
+        assert b"1 0 0 1 16 80 Tm (first) Tj" in out["u1"]
+        assert b"1 0 0 1 16 44 Tm (second) Tj" in out["u1"]
+        assert b"/MediaBox [0 0 200 80]" in out["u2"]
+
+    def test_extension_registered(self):
+        from tesseract_rs_spark.operators.renderers import renderer_extension
+
+        assert renderer_extension("pdf") == "pdf"
