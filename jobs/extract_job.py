@@ -70,6 +70,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.fuzzy_dedup is not None and not 0.0 < args.fuzzy_dedup <= 1.0:
+        # fail fast: Jaccard lives in (0, 1] — an out-of-range threshold
+        # silently degrades into a no-op (T>1: zero pairs, near-dups
+        # ship) or a corpus collapse (T<=0: every candidate pair joins
+        # one component), both shipping output the user believes is
+        # correctly deduped
+        print(
+            f"error: --fuzzy-dedup must be in (0, 1], got {args.fuzzy_dedup}",
+            file=sys.stderr,
+        )
+        return 2
     if args.fuzzy_dedup is not None and not args.curate:
         print(
             "error: --fuzzy-dedup requires --curate (it runs over the "
@@ -144,8 +155,8 @@ def main(argv=None) -> int:
         # materialize the (small) curated survivor set once: the pair
         # mining below scans it several times (signatures, shingle table
         # twice, sizes, join-back), and each un-materialized scan would
-        # re-run the FULL upstream extraction — measured 40 s -> 13 s at
-        # 400k pages (r5)
+        # re-run the FULL upstream extraction — measured 40.3 s -> 20.3 s
+        # total pipeline wall at 400k pages (BENCH.md r5)
         curated = curated.localCheckpoint()
         # near-dup stage: bucketed MinHash-LSH pairs (never all-pairs),
         # components collapse chains, minimum url survives per component

@@ -147,10 +147,16 @@ def filter_by_hosts(
     ``blocked`` is either a small python iterable of lowercase hosts
     (inlined as an array literal — ``arrays_overlap`` in whole-stage
     codegen, zero shuffle) or a single-column ``host`` DataFrame for
-    list sizes beyond literal-expression scale (UCSB-style megalists):
-    that path explodes each doc's handful of suffixes, broadcast
-    semi-joins the list, and anti/semi-joins the matched ``id_col`` set
-    back — the corpus never shuffles, only (id, suffix) pairs flow."""
+    list sizes beyond literal-expression scale (megalists): that path
+    explodes each doc's handful of suffixes, broadcast semi-joins the
+    list, and joins the matched ``id_col`` set back with a BROADCAST
+    hint (ids are 8-byte keys bounded by the match count) — the corpus
+    itself never shuffles, only (id, suffix) pairs flow.  NOTE: the
+    DataFrame path scans ``docs`` twice (suffix explode + join-back);
+    when ``docs`` is itself an expensive un-materialized pipeline,
+    materialize it first (cache / localCheckpoint) or each scan re-runs
+    the upstream — the multi-scan trap BENCH.md r5 measured at ~2x-4x
+    on the fuzzy-dedup stage."""
     host = host_expr(url_col)
     if isinstance(blocked, DataFrame):
         sufx = docs.select(
@@ -158,7 +164,9 @@ def filter_by_hosts(
         )
         bl = broadcast(blocked.select(F.lower(F.col("host")).alias("host")))
         hit_ids = sufx.join(bl, "host", "left_semi").select(id_col).distinct()
-        return docs.join(hit_ids, id_col, "left_semi" if keep else "left_anti")
+        return docs.join(
+            broadcast(hit_ids), id_col, "left_semi" if keep else "left_anti"
+        )
     arr = F.array(*[F.lit(str(h).lower()) for h in blocked])
     hit = F.arrays_overlap(host_suffixes(host), arr)
     return docs.filter(hit if keep else ~hit)

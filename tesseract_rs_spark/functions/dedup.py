@@ -452,7 +452,10 @@ def simhash(
                 {id_col: pdf[id_col], "simhash": pd.array(out, dtype="int64")}
             )
 
-    return hashed.mapInPandas(gen, schema=f"{id_col} long, simhash long")
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return hashed.mapInPandas(
+        gen, schema=f"{id_col} {id_type}, simhash long"
+    )
 
 
 def hamming64(col_a, col_b):

@@ -119,6 +119,7 @@ LANG_ATLASES = {
     "eng": _ATLAS_FLAT,
     "tur": _ATLAS_FLAT_TUR,
 }
+_EMBEDDED_LANGS = frozenset(LANG_ATLASES)
 _ALL_LANG_FLAT = np.concatenate(list(LANG_ATLASES.values()), axis=0)
 _ALL_LANG_FLAT_SUMS = _ALL_LANG_FLAT.sum(axis=1).astype(np.int32)
 
@@ -379,7 +380,16 @@ def register_atlas(name: str, atlas: dict) -> None:
     idempotent (each executor registers from the broadcast dict before
     decoding).  The OSD scorer intentionally stays on the EMBEDDED
     models only (_ALL_LANG_FLAT is not extended): orientation detection
-    must not depend on which adaptations happen to be loaded."""
+    must not depend on which adaptations happen to be loaded.  The
+    EMBEDDED names are protected — overwriting "eng"/"tur" in a reused
+    worker process would corrupt every later plain decode that lands on
+    it (order-dependent output, the exact property adaptation exists to
+    eliminate)."""
+    if name in _EMBEDDED_LANGS:
+        raise ValueError(
+            f"cannot register over the embedded language {name!r}; "
+            "pick a distinct adaptation name"
+        )
     flat = np.ones((len(CHARSET), GLYPH_H * GLYPH_W), dtype=np.int16)
     for ch, mask in atlas.items():
         i = CHARSET.find(ch)

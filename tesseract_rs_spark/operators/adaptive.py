@@ -54,9 +54,13 @@ def learn_glyphs(
     bool mask}.  Pages whose segmentation does not align 1:1 with the
     truth tokens (or words whose glyph count differs from the token
     length) are skipped defensively — adaptation must never learn from a
-    misalignment.  Returns a plain dict sized ~charset x cell (KBs);
-    feed it to :func:`ocr_text_adapted` or
-    ``kernels.raster.register_atlas``."""
+    misalignment; labeled pages are expected UPRIGHT (the reference's
+    adapt likewise runs on the image as set by the caller — no OSD pass
+    precedes it).  RAISES when zero examples align: a silently empty
+    atlas would make :func:`ocr_text_adapted` byte-identical to the
+    unadapted decode while the caller believes adaptation ran.  Returns
+    a plain dict sized ~charset x cell (KBs); feed it to
+    :func:`ocr_text_adapted` or ``kernels.raster.register_atlas``."""
     from tesseract_rs_spark.kernels.raster import (
         GLYPH_H,
         GLYPH_W,
@@ -123,6 +127,13 @@ def learn_glyphs(
             ns[r["char"]] = r["cnt"]
         else:
             counts.setdefault(r["char"], {})[r["pos"]] = r["cnt"]
+    if not ns:
+        raise ValueError(
+            "adaptation learned zero examples: no labeled page aligned "
+            "its truth tokens with the segmented word boxes (are the "
+            "pages upright and the truth strings space-tokenized to "
+            "match the rendering?)"
+        )
     atlas = {}
     for ch, n in ns.items():
         vec = np.zeros(cell, dtype=np.int64)
@@ -152,7 +163,6 @@ def ocr_text_adapted(
     from tesseract_rs_spark.operators.ocr import _id_schema
 
     cfg = cfg or ExtractConfig()
-    wl = cfg.char_whitelist
     schema = (
         _id_schema(pages, id_cols)
         + ", text string, status string, mean_conf long, n_words long"
@@ -161,23 +171,14 @@ def ocr_text_adapted(
     langs = (*cfg.langs, name)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from tesseract_rs_spark.kernels.raster import (
-            extract_raster_doc,
-            register_atlas,
-        )
+        from tesseract_rs_spark.kernels.raster import register_atlas
+        from tesseract_rs_spark.operators.ocr import raster_batch_results
 
         register_atlas(name, atlas)
         for pdf in batches:
             if not len(pdf):
                 continue
-            results = [
-                extract_raster_doc(
-                    p, whitelist=wl, timeout_ms=cfg.page_timeout_ms,
-                    langs=langs, oem=cfg.oem, roi=cfg.roi_rect,
-                    orient_margin=cfg.min_orientation_margin,
-                )
-                for p in pdf[payload_col]
-            ]
+            results = raster_batch_results(pdf, cfg, payload_col, langs=langs)
             out = {c: pdf[c].to_numpy() for c in id_cols}
             out["text"] = [r.text for r in results]
             out["status"] = [r.status for r in results]

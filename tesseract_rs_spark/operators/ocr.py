@@ -38,6 +38,26 @@ def _id_schema(pages: DataFrame, id_cols: Sequence[str]) -> str:
     return ", ".join(f"{c} {by_name[c].dataType.simpleString()}" for c in id_cols)
 
 
+def raster_batch_results(pdf, cfg: ExtractConfig, payload_col: str = "html",
+                         langs: tuple | None = None) -> list:
+    """THE per-batch decode loop, shared by every raster operator and the
+    adaptive twin (one definition — a fix to the decode call signature
+    cannot silently miss a copy, review r5): one RasterResult per page,
+    with every config knob threaded (whitelist, timeout, engine mode,
+    ROI, orientation margin) and ``langs`` defaulting to the config's
+    joint-language list."""
+    wl = cfg.char_whitelist
+    return [
+        extract_raster_doc(
+            p, whitelist=wl, timeout_ms=cfg.page_timeout_ms,
+            langs=langs if langs is not None else cfg.langs,
+            oem=cfg.oem, roi=cfg.roi_rect,
+            orient_margin=cfg.min_orientation_margin,
+        )
+        for p in pdf[payload_col]
+    ]
+
+
 def ocr_text(
     pages: DataFrame,
     cfg: ExtractConfig | None = None,
@@ -45,7 +65,6 @@ def ocr_text(
     payload_col: str = "html",
 ) -> DataFrame:
     cfg = cfg or ExtractConfig()
-    wl = cfg.char_whitelist
     schema = _id_schema(pages, id_cols) + ", " + OCR_TEXT_FIELDS
     id_cols = tuple(id_cols)
 
@@ -53,14 +72,7 @@ def ocr_text(
         for pdf in batches:
             if not len(pdf):
                 continue
-            results = [
-                extract_raster_doc(
-                    p, whitelist=wl, timeout_ms=cfg.page_timeout_ms,
-                    oem=cfg.oem, roi=cfg.roi_rect,
-                    orient_margin=cfg.min_orientation_margin,
-                )
-                for p in pdf[payload_col]
-            ]
+            results = raster_batch_results(pdf, cfg, payload_col)
             out = {c: pdf[c].to_numpy() for c in id_cols}
             out["text"] = [r.text for r in results]
             out["status"] = [r.status for r in results]
@@ -103,7 +115,6 @@ def ocr_osd(
     config's ``min_orientation_margin`` (set_min_orientation_margin
     analog) governs the disambiguation vote."""
     cfg = cfg or ExtractConfig()
-    wl = cfg.char_whitelist
     schema = _id_schema(pages, id_cols) + ", " + OCR_OSD_FIELDS
     id_cols = tuple(id_cols)
 
@@ -111,14 +122,7 @@ def ocr_osd(
         for pdf in batches:
             if not len(pdf):
                 continue
-            results = [
-                extract_raster_doc(
-                    p, whitelist=wl, timeout_ms=cfg.page_timeout_ms,
-                    oem=cfg.oem, roi=cfg.roi_rect,
-                    orient_margin=cfg.min_orientation_margin,
-                )
-                for p in pdf[payload_col]
-            ]
+            results = raster_batch_results(pdf, cfg, payload_col)
             out = {c: pdf[c].to_numpy() for c in id_cols}
             out["status"] = [r.status for r in results]
             out["orientation_deg"] = pd.array(
@@ -357,7 +361,6 @@ def ocr_words(
     the word_recognition_language channel
     (/root/reference/src/result_iterator.rs:78-89)."""
     cfg = cfg or ExtractConfig()
-    wl = cfg.char_whitelist
     langs = cfg.langs
     schema = _id_schema(pages, id_cols) + ", " + OCR_WORD_FIELDS
     if include_lang:
@@ -375,14 +378,7 @@ def ocr_words(
                 continue
             # vectorized explode: one C-speed list.extend per doc, ONE
             # zip-transpose per batch, np.repeat for the id columns
-            docs = [
-                extract_raster_doc(
-                    p, whitelist=wl, timeout_ms=cfg.page_timeout_ms, langs=langs,
-                    oem=cfg.oem, roi=cfg.roi_rect,
-                    orient_margin=cfg.min_orientation_margin,
-                )
-                for p in pdf[payload_col]
-            ]
+            docs = raster_batch_results(pdf, cfg, payload_col, langs=langs)
             counts = np.fromiter(
                 (len(r.words) for r in docs), dtype=np.int64, count=len(docs)
             )

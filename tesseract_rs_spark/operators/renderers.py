@@ -361,6 +361,19 @@ def _pdf_escape(w: str) -> str:
     return w.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
 
 
+def _pdf_text(w: str) -> str:
+    """A PDF text-string operand for arbitrary unicode: Latin-1 words use
+    the escaped literal form; anything else becomes a BOM-prefixed
+    UTF-16BE hex string (the PDF text-string encoding for non-Latin
+    content) — NEVER a silent '?' replacement (review r5: the text layer
+    is the extraction target, so mangling it is data corruption)."""
+    try:
+        w.encode("latin-1")
+    except UnicodeEncodeError:
+        return "<" + (b"\xfe\xff" + w.encode("utf-16-be")).hex() + ">"
+    return "(" + _pdf_escape(w) + ")"
+
+
 def pdf_bytes(page_w: int, page_h: int, rows, title: str = "") -> bytes:
     """One deterministic, valid PDF 1.4 with a positioned text layer —
     the byte-assembly half of :func:`render_pdf` (driver-free, unit
@@ -371,14 +384,14 @@ def pdf_bytes(page_w: int, page_h: int, rows, title: str = "") -> bytes:
     from tesseract_rs_spark.kernels.raster import GLYPH_H
 
     body = "".join(
-        "1 0 0 1 %d %d Tm (%s) Tj\n" % (x, y, _pdf_escape(w))
+        "1 0 0 1 %d %d Tm %s Tj\n" % (x, y, _pdf_text(w))
         for x, y, w in rows
     )
     content = ("BT\n/F1 %d Tf\n" % GLYPH_H) + body + "ET"
-    cbytes = content.encode("latin-1", "replace")
+    cbytes = content.encode("latin-1")  # _pdf_text guarantees latin-1
     info = (
-        "<< /Title (%s) >>" % _pdf_escape(title) if title else "<< >>"
-    ).encode("latin-1", "replace")
+        "<< /Title %s >>" % _pdf_text(title) if title else "<< >>"
+    ).encode("latin-1")
     objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",

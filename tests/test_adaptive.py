@@ -85,3 +85,7 @@ def test_register_atlas_validates(spark):
         register_atlas("bad", {"@": np.zeros((24, 16), dtype=bool)})
     with pytest.raises(ValueError, match="shape"):
         register_atlas("bad", {"a": np.zeros((3, 3), dtype=bool)})
+    # embedded models are protected: overwriting "eng" in a reused
+    # worker would corrupt later plain decodes (review r5)
+    with pytest.raises(ValueError, match="embedded"):
+        register_atlas("eng", {"a": np.zeros((24, 16), dtype=bool)})

@@ -142,8 +142,9 @@ def test_cli_fuzzy_dedup_stage(tmp_path, spark):
     res = spark.read.parquet(out)
     assert res.count() == 2  # base+near collapsed, other kept
     kept_urls = {r["url"] for r in res.select("url").collect()}
-    # the minimum url of the near-dup component survives
-    assert len([u for u in kept_urls if "doc0" in u or "0" in u]) >= 1
+    # EXACT survivor set: the minimum url of the near-dup component
+    # (doc 0, not doc 1) plus the unrelated doc 2
+    assert {u.rsplit("/", 1)[-1] for u in kept_urls} == {"000000", "000002"}
     # refuse without --curate
     rc2 = extract_job.main(
         [
@@ -152,6 +153,17 @@ def test_cli_fuzzy_dedup_stage(tmp_path, spark):
         ]
     )
     assert rc2 == 2
+    # refuse out-of-range thresholds (Jaccard lives in (0, 1]): a typo'd
+    # '--fuzzy-dedup 8' would otherwise ship near-dups the user believes
+    # were removed
+    for bad in ("8", "0", "-0.5"):
+        rc3 = extract_job.main(
+            [
+                "--input", pages_path, "--output", out,
+                "--curate", "--fuzzy-dedup", bad, "--master", "2",
+            ]
+        )
+        assert rc3 == 2, bad
 
 
 def test_cli_curate_rejects_unsupported_combination(tmp_path):

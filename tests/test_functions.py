@@ -1063,13 +1063,22 @@ def test_filter_by_hosts(spark):
         r["doc_id"] for r in filter_by_hosts(docs, bl_df, keep=True).collect()
     }
     assert allowed_df == {0, 1, 3}
-    plan = (
-        filter_by_hosts(docs, bl_df)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old_thr = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        plan = (
+            filter_by_hosts(docs, bl_df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set(key, old_thr)
+    # the corpus side may never shuffle: only hint-driven broadcasts
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
 def test_dedup_family_string_ids(spark):
@@ -1101,6 +1110,8 @@ def test_dedup_family_string_ids(spark):
         for r in minhash_dedup_pairs(docs, threshold=0.8, id_col="url").collect()
     }
     assert pairs == {("https://a.example.org/1", "https://b.example.org/2")}
+    sh = simhash(docs, id_col="url").collect()
+    assert {r["url"] for r in sh} == {r[0] for r in docs.select("url").collect()}
     emb = spark.createDataFrame(
         [("u-a", [1.0, 0.0]), ("u-b", [0.0, 1.0])],
         "url string, embedding array<double>",

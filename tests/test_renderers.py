@@ -167,3 +167,16 @@ class TestPdfRenderer:
         from tesseract_rs_spark.operators.renderers import renderer_extension
 
         assert renderer_extension("pdf") == "pdf"
+
+    def test_non_latin_text_is_utf16_not_mangled(self):
+        """Non-Latin-1 words must survive as BOM-prefixed UTF-16BE hex
+        strings — never a silent '?' replacement (the text layer is the
+        extraction target)."""
+        from tesseract_rs_spark.operators.renderers import pdf_bytes
+
+        pdf = pdf_bytes(200, 80, [(16, 40, "héllo"), (90, 40, "日本語")])
+        assert b"?" not in pdf
+        assert ("<" + (b"\xfe\xff" + "日本語".encode("utf-16-be")).hex()
+                + "> Tj").encode() in pdf
+        # latin-1-encodable words keep the compact literal form
+        assert b"(h\xe9llo) Tj" in pdf
