@@ -30,13 +30,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "400000"))
 SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
-# Scaling pair: N and 4N task slots, both capped at half the physical cores.
-# A mapInPandas task slot keeps ~2 threads busy (JVM scan/Arrow + the Python
-# worker), so local[cores] oversubscribes a single box and would understate
-# scaling that a real N->4N *executor* change delivers; both levels must fit
-# the machine for the comparison to be apples-to-apples (see BENCH.md).
-SCALE_LOW = max(1, CPUS // 8)
-SCALE_HIGH = max(2, CPUS // 2)
+# Scaling pair: N and 4N task slots, both sized to leave CO-TENANT
+# HEADROOM.  A mapInPandas task slot keeps ~2 threads busy (JVM
+# scan/Arrow + the Python worker), so the old cores/2 high leg (32 busy
+# threads on 32 cores) competed for the whole box: any background load
+# throttled ONLY the high leg and the ratio systematically read < 1
+# (measured 0.70-0.78 on a loaded box vs 0.92-1.05 quiet).  At
+# cores/16 -> cores/4 (4 -> 16 busy threads) both levels fit even a
+# half-loaded machine, so the ratio measures OUR scaling, not the
+# co-tenants' schedule (see BENCH.md r5).
+SCALE_LOW = max(1, CPUS // 16)
+SCALE_HIGH = max(2, CPUS // 4)
 SCALING_FRACTION = 2  # scaling runs use 1/2 of the corpus to bound wall time
 CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/tesseract_rs_spark_bench")
 
@@ -270,7 +274,10 @@ def main() -> None:
             round_walls = {}
             for label, n in (("low", SCALE_LOW), ("high", SCALE_HIGH)):
                 s = get_spark(f"bench-{label}", cores=n, extra_conf=split_conf)
-                timed_extract(s, path, subset=SCALING_FRACTION)  # warm-up
+                # warm-up on a quarter of the measured subset: it only
+                # exists for JIT + worker spin-up, and a full-size warm
+                # doubles the low leg's wall for nothing
+                timed_extract(s, path, subset=SCALING_FRACTION * 4)
                 w, d, _, _ = timed_extract(s, path, subset=SCALING_FRACTION)
                 s.stop()
                 walls[label].append(w)
@@ -284,25 +291,23 @@ def main() -> None:
                     3,
                 )
             )
-        # Headline = the pair efficiency of the LEAST-THROTTLED round
-        # (smallest core-normalized combined wall).  Never cross-pair
-        # best walls from different rounds: a clean high wall paired
-        # with another round's throttled low wall reads as super-linear
-        # "scaling" that is really a slow denominator — the exact
-        # artifact interleaving exists to kill (measured: cross-paired
-        # bests read 1.37 on a run whose within-round pairs read
-        # 0.97/1.92/1.01).  The median of pairs rides along as the
-        # robustness check.
-        ratio = SCALE_HIGH / SCALE_LOW
-        combined = [
-            lw + hw * ratio for lw, hw in zip(walls["low"], walls["high"])
-        ]
-        best_round = combined.index(min(combined))
-        wl = walls["low"][best_round]
-        wh = walls["high"][best_round]
+        # Headline = the MEDIAN of the within-round pair efficiencies:
+        # with 3 interleaved rounds it discards one throttled round in
+        # EITHER direction (a burst during the low leg inflates that
+        # round's pair above 1, during the high leg deflates it below —
+        # both observed).  Never cross-pair best walls from different
+        # rounds (cross-paired bests read 1.37 on a run whose
+        # within-round pairs read 0.97/1.92/1.01), and don't pick "the
+        # least-throttled round" by combined wall either — a round with
+        # a throttled low leg and a clean high leg can still win that
+        # selection and read super-linear (measured: 1.053 picked while
+        # the median read 0.96).  The reported walls/throughputs are the
+        # median round's.
+        med_idx = pair_eff.index(sorted(pair_eff)[len(pair_eff) // 2])
+        wl = walls["low"][med_idx]
+        wh = walls["high"][med_idx]
         tl = docs_level["low"] / wl
         th = docs_level["high"] / wh
-        med = sorted(pair_eff)[len(pair_eff) // 2]
         scaling = {
             "cores_low": SCALE_LOW,
             "cores_high": SCALE_HIGH,
@@ -313,9 +318,8 @@ def main() -> None:
             "walls_high_sec": [round(w, 3) for w in walls["high"]],
             "docs_per_sec_low": round(tl, 1),
             "docs_per_sec_high": round(th, 1),
-            "efficiency": pair_eff[best_round],
+            "efficiency": pair_eff[med_idx],
             "efficiency_pairs": pair_eff,
-            "efficiency_median": med,
         }
 
     out = {
