@@ -64,6 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-quality", type=int, default=55)
     p.add_argument("--keep-langs", default="en",
                    help="comma-separated language codes curation keeps")
+    p.add_argument("--block-hosts", default=None, metavar="FILE",
+                   help="newline-delimited domain blocklist applied to the "
+                        "pages BEFORE extraction (cheapest gate first — "
+                        "blocked pages never reach the decode kernels); "
+                        "registered domains block their subdomains")
     p.add_argument("--master", default=None, help="override master URL (tests)")
     return p
 
@@ -179,6 +184,24 @@ def main(argv=None) -> int:
         return curated.join(losers, "url", "left_anti")
 
     pages = spark.read.parquet(args.input)
+    if args.block_hosts:
+        from tesseract_rs_spark.functions.cleaning import filter_by_hosts
+
+        with open(args.block_hosts, encoding="utf-8") as f:
+            blocked = [
+                ln.strip().lower() for ln in f
+                if ln.strip() and not ln.startswith("#")
+            ]
+        # the literal arrays_overlap path stays whole-stage codegen; very
+        # large lists would bloat the plan — hand those to the broadcast
+        # DataFrame path instead
+        if len(blocked) > 10_000:
+            bl_df = spark.createDataFrame(
+                [(h,) for h in blocked], "host string"
+            )
+            pages = filter_by_hosts(pages, bl_df, id_col="url")
+        else:
+            pages = filter_by_hosts(pages, blocked)
     t0 = time.time()
     if args.checkpoint_dir:
         result = run_checkpointed(

@@ -166,6 +166,50 @@ def test_cli_fuzzy_dedup_stage(tmp_path, spark):
         assert rc3 == 2, bad
 
 
+def test_cli_block_hosts_pre_extraction_gate(tmp_path, spark):
+    """--block-hosts drops blocked-domain pages BEFORE extraction; the
+    blocklist file supports comments; subdomains of a listed registered
+    domain are blocked too."""
+    sys.path.insert(0, REPO)
+    import importlib
+
+    import pyspark.sql.functions as F
+
+    from tesseract_rs_spark.sources.pages import pages_from_documents
+
+    extract_job = importlib.import_module("jobs.extract_job")
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta", "en") for i in range(10)],
+        "doc_id long, text string, lang string",
+    )
+    pages = pages_from_documents(docs).withColumn(
+        "url",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("https://keep.example/")
+            ).otherwise(F.lit("https://sub.spam.example/")),
+            F.col("doc_id").cast("string"),
+        ),
+    ).drop("doc_id")
+    pages_path = str(tmp_path / "pages_bl.parquet")
+    pages.write.parquet(pages_path)
+    bl = tmp_path / "blocklist.txt"
+    bl.write_text("# crawl blocklist\n\nspam.example\n")
+    out = str(tmp_path / "out_bl")
+    rc = extract_job.main(
+        [
+            "--input", pages_path, "--output", out,
+            "--output-format", "text",
+            "--block-hosts", str(bl),
+            "--master", "4",
+        ]
+    )
+    assert rc == 0
+    res = spark.read.parquet(out)
+    assert res.count() == 5
+    assert all("keep.example" in r["url"] for r in res.select("url").collect())
+
+
 def test_cli_curate_rejects_unsupported_combination(tmp_path):
     """--curate with the raster payload (or a non-text format) must refuse
     rather than silently ship uncurated output (review r4)."""
