@@ -1349,8 +1349,29 @@ def _q_ocr_words_m(spark, sf_dir):
 
 def _q_ocr_variants_m(spark, sf_dir):
     """Engine-mode variants joined per doc: OEM-1 NCC decode (+conf 100),
-    RGB/stride set_image_2 decode (+threshold), and the set_rectangle ROI
-    decode of the first text line."""
+    RGB/stride set_image_2 decode (+threshold), the set_rectangle ROI
+    decode of the first text line, and the ADAPTED decode
+    (adapt_to_word_str re-expressed, VERDICT r5 #3): a glyph atlas
+    learned from the corpus's own (page, truth) pairs joins the decode
+    languages — on clean renders the learned templates are bit-exact to
+    the embedded ones (test_adaptive pins it), so the adapted decode's
+    oracle is the SAME golden assembly at conf exactly 100."""
+    from tesseract_rs_spark.operators.adaptive import (
+        learn_glyphs,
+        ocr_text_adapted,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pages = raster_pages_from_documents(docs, WPL, LPP)
+    labeled = pages.join(
+        docs.select("doc_id", F.col("text").alias("truth")), "doc_id"
+    )
+    atlas = learn_glyphs(labeled)
+    adapted = ocr_text_adapted(pages, atlas, id_cols=("doc_id",)).select(
+        "doc_id",
+        F.col("text").alias("adapted_text"),
+        F.col("mean_conf").alias("adapted_conf"),
+    )
     oem = _q_ocr_oem_ncc(spark, sf_dir)
     rgb = _q_ocr_rgb(spark, sf_dir).select(
         "doc_id",
@@ -1362,7 +1383,9 @@ def _q_ocr_variants_m(spark, sf_dir):
         F.col("text").alias("roi_text"),
         F.col("n_words").alias("roi_n_words"),
     )
-    return oem.join(rgb, "doc_id").join(roi, "doc_id")
+    return (
+        oem.join(rgb, "doc_id").join(roi, "doc_id").join(adapted, "doc_id")
+    )
 
 
 def _q_render_text_formats_m(spark, sf_dir):
@@ -1384,7 +1407,14 @@ def _q_render_tsv_m(spark, sf_dir):
 
 def _q_render_boxfiles_m(spark, sf_dir):
     """The three box-file renderers (box / lstm_box / wordstr_box) in one
-    query, tagged by fmt."""
+    query, tagged by fmt, plus the PDF TEXT-LAYER ROUND-TRIP (VERDICT r5
+    #4): each doc's words render into a textonly PDF whose Tm/Tj
+    operands are parsed straight back to page text inside the same
+    grouped stage — on clean pages that reconstruction must equal the
+    golden assembly, giving the PDF renderer a hard SQL oracle (the
+    binary structure itself stays pinned by TestPdfRenderer)."""
+    from tesseract_rs_spark.operators.renderers import pdf_roundtrip_text
+
     b = _q_render_box(spark, sf_dir).select(
         "doc_id", F.col("box").alias("box_text")
     ).withColumn("fmt", F.lit("box"))
@@ -1394,7 +1424,13 @@ def _q_render_boxfiles_m(spark, sf_dir):
     w = _q_render_wordstr_box(spark, sf_dir).select(
         "doc_id", F.col("wordstr_box").alias("box_text")
     ).withColumn("fmt", F.lit("wordstr_box"))
-    return b.unionByName(l).unionByName(w)
+    pages = raster_pages_from_documents(_docs(spark, sf_dir), WPL, LPP)
+    p = pdf_roundtrip_text(
+        ocr_words(pages, id_cols=("doc_id",)), key="doc_id"
+    ).select(
+        "doc_id", F.col("pdf_text").alias("box_text")
+    ).withColumn("fmt", F.lit("pdf_text"))
+    return b.unionByName(l).unionByName(w).unionByName(p)
 
 
 def _q_text_stats_m(spark, sf_dir):
@@ -3391,7 +3427,9 @@ def oracle_sql() -> dict[str, str]:
         "ocr_variants": f"""
         SELECT a.doc_id, a.text, a.status, a.mean_conf,
                b.text AS rgb_text, b.threshold AS rgb_threshold,
-               c.text AS roi_text, c.n_words AS roi_n_words
+               c.text AS roi_text, c.n_words AS roi_n_words,
+               a.text AS adapted_text,
+               CAST(100 AS BIGINT) AS adapted_conf
         FROM {sub("ocr_oem_ncc")} a
         JOIN {sub("ocr_rgb")} b USING (doc_id)
         JOIN {sub("ocr_roi")} c USING (doc_id)
@@ -3416,6 +3454,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'lstm_box', doc_id, lstm_box FROM {sub("render_lstm_box")}
         UNION ALL
         SELECT 'wordstr_box', doc_id, wordstr_box FROM {sub("render_wordstr_box")}
+        UNION ALL
+        SELECT 'pdf_text', doc_id, text FROM {sub("ocr_text")}
         """,
         "word_predicates": o["word_predicates"],
         # --- text analysis ---

@@ -205,6 +205,44 @@ def main() -> None:
         )
         return time.time() - t0, n
 
+    def timed_pipeline(subset: int | None = None):
+        # end-to-end curation pipeline leg (VERDICT r5 #6): the exact
+        # stage chain the CLI --curate --fuzzy-dedup runs — fused
+        # extract -> one-pass curate (quality + lang + exact dedup) ->
+        # materialize the survivor set -> MinHash-LSH near-dup pairs ->
+        # connected components -> min-url survivor anti-join
+        from tesseract_rs_spark.functions.cleaning import (
+            curate,
+            flatten_extracted,
+        )
+        from tesseract_rs_spark.functions.dedup import (
+            dup_clusters,
+            minhash_dedup_pairs,
+        )
+
+        t0 = time.time()
+        pages = spark.read.parquet(path)
+        if subset:
+            pages = pages.filter(
+                F.pmod(F.xxhash64("url"), F.lit(subset)) == 0
+            )
+        curated = curate(
+            flatten_extracted(
+                extract_text(pages, ExtractConfig(), id_cols=("url",))
+            ),
+            id_col="url",
+        ).localCheckpoint()
+        pairs = minhash_dedup_pairs(
+            curated, threshold=0.8, id_col="url"
+        ).select("id_a", "id_b")
+        losers = (
+            dup_clusters(pairs)
+            .filter("doc_id != cluster_id")
+            .select(F.col("doc_id").alias("url"))
+        )
+        n = curated.join(losers, "url", "left_anti").count()
+        return time.time() - t0, n
+
     # Warm each leg once, then INTERLEAVE the measured rounds: sandbox
     # co-tenant load spikes last minutes, so three back-to-back samples of
     # one leg can all land inside a spike — round-robin spreads each leg's
@@ -214,10 +252,14 @@ def main() -> None:
         "extract_words": timed_words,
         "ocr_text": timed_raster,
         "simhash": timed_simhash,
+        "pipeline": timed_pipeline,
     }
     samples: dict = {k: [] for k in legs}
-    for fn in legs.values():
-        fn()  # warm-up
+    for name, fn in legs.items():
+        # warm-up for JIT + worker spin-up only; the pipeline leg warms
+        # on a 1/4 hash-gated subset (its full run is the longest leg and
+        # the warm run's wall is thrown away anyway)
+        fn(subset=4) if name == "pipeline" else fn()
     for _ in range(3):
         for name, fn in legs.items():
             samples[name].append(fn())
@@ -239,6 +281,8 @@ def main() -> None:
     sim_sec, n_sim = best["simhash"]
     results["simhash"] = round(sim_sec, 3)
     simhash_docs_per_sec = round(n_sim / sim_sec, 1)
+    pipe_sec, n_survivors = best["pipeline"]
+    results["pipeline"] = round(pipe_sec, 3)
     env_probe = worker_env_probe(spark)
     spark.stop()
 
@@ -303,7 +347,11 @@ def main() -> None:
         # selection and read super-linear (measured: 1.053 picked while
         # the median read 0.96).  The reported walls/throughputs are the
         # median round's.
-        med_idx = pair_eff.index(sorted(pair_eff)[len(pair_eff) // 2])
+        # sort INDICES, not values: rounded efficiencies can tie, and
+        # .index() on a tied value would report walls from the wrong round
+        med_idx = sorted(range(len(pair_eff)), key=lambda i: pair_eff[i])[
+            len(pair_eff) // 2
+        ]
         wl = walls["low"][med_idx]
         wh = walls["high"][med_idx]
         tl = docs_level["low"] / wl
@@ -322,9 +370,15 @@ def main() -> None:
             "efficiency_pairs": pair_eff,
         }
 
+    # "value" stays the sum of the four legs every prior round recorded
+    # (round-over-round comparability); the new end-to-end pipeline leg
+    # is reported per-query plus its survivor count below
+    four_leg_total = sum(
+        v for k, v in results.items() if k != "pipeline"
+    )
     out = {
         "metric": "extraction pipeline wall time (read pages -> fused mapInPandas extract -> agg)",
-        "value": round(sum(results.values()), 3),
+        "value": round(four_leg_total, 3),
         "unit": "sec",
         "queries": results,
         "sf": SF_DIR,
@@ -337,6 +391,7 @@ def main() -> None:
         "raster_pages": int(n_raster),
         "raster_pages_per_sec": raster_pages_per_sec,
         "simhash_docs_per_sec": simhash_docs_per_sec,
+        "pipeline_survivors": int(n_survivors),
         "queries_median": queries_median,
         "env": env_probe,
         "scaling": scaling,

@@ -161,8 +161,19 @@ def main(argv=None) -> int:
         # mining below scans it several times (signatures, shingle table
         # twice, sizes, join-back), and each un-materialized scan would
         # re-run the FULL upstream extraction — measured 40.3 s -> 20.3 s
-        # total pipeline wall at 400k pages (BENCH.md r5)
-        curated = curated.localCheckpoint()
+        # total pipeline wall at 400k pages (BENCH.md r5).  With
+        # --checkpoint-dir the pin is a RELIABLE checkpoint (survives
+        # executor preemption — localCheckpoint blocks live on executors
+        # and a lost one re-runs the whole lineage, VERDICT r5 #5);
+        # without it, localCheckpoint (no reliable store to write to).
+        if args.checkpoint_dir:
+            spark = curated.sparkSession
+            spark.sparkContext.setCheckpointDir(
+                f"{args.checkpoint_dir}/fuzzy_dedup_curated"
+            )
+            curated = curated.checkpoint()
+        else:
+            curated = curated.localCheckpoint()
         # near-dup stage: bucketed MinHash-LSH pairs (never all-pairs),
         # components collapse chains, minimum url survives per component
         # — string ids order lexicographically, deterministic
@@ -188,9 +199,10 @@ def main(argv=None) -> int:
         from tesseract_rs_spark.functions.cleaning import filter_by_hosts
 
         with open(args.block_hosts, encoding="utf-8") as f:
+            stripped = (ln.strip() for ln in f)
             blocked = [
-                ln.strip().lower() for ln in f
-                if ln.strip() and not ln.startswith("#")
+                ln.lower() for ln in stripped
+                if ln and not ln.startswith("#")
             ]
         # the literal arrays_overlap path stays whole-stage codegen; very
         # large lists would bloat the plan — hand those to the broadcast

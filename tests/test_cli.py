@@ -231,3 +231,55 @@ def test_cli_curate_rejects_unsupported_combination(tmp_path):
         ]
     )
     assert rc2 == 2
+
+
+def test_cli_fuzzy_dedup_checkpoint_modes(tmp_path, spark):
+    """--fuzzy-dedup pins the curated survivor set with a RELIABLE
+    checkpoint when --checkpoint-dir is given (preemption-safe: the pin
+    lives in the checkpoint store, not on executors — a preempted
+    executor would otherwise re-run the whole extraction lineage) and
+    localCheckpoint otherwise (VERDICT r5 #5).  Evidence: the reliable
+    run writes RDD checkpoint files under <dir>/fuzzy_dedup_curated,
+    the local run does not, and the survivor sets are identical."""
+    sys.path.insert(0, REPO)
+    import importlib
+
+    from tesseract_rs_spark.sources.pages import pages_from_documents
+
+    extract_job = importlib.import_module("jobs.extract_job")
+    base = (
+        "the cat is of the house and the dog is of the yard "
+        "the bird is of the tree and the fish is of the pond "
+        "the fox is of the wood and the owl is of the barn"
+    )
+    near = base.rsplit(" ", 1)[0] + " loft"
+    docs = spark.createDataFrame(
+        [(0, base, "en"), (1, near, "en")],
+        "doc_id long, text string, lang string",
+    )
+    pages_path = str(tmp_path / "pages_ckpt.parquet")
+    pages_from_documents(docs).drop("doc_id").write.parquet(pages_path)
+    common = [
+        "--input", pages_path,
+        "--output-format", "text",
+        "--curate", "--min-quality", "0", "--keep-langs", "en",
+        "--fuzzy-dedup", "0.8",
+        "--master", "4",
+    ]
+    out_local = str(tmp_path / "out_local")
+    assert extract_job.main(common + ["--output", out_local]) == 0
+    ckpt = tmp_path / "ckpt"
+    out_rel = str(tmp_path / "out_rel")
+    assert (
+        extract_job.main(
+            common
+            + ["--output", out_rel, "--checkpoint-dir", str(ckpt), "--n-buckets", "2"]
+        )
+        == 0
+    )
+    pinned = ckpt / "fuzzy_dedup_curated"
+    assert pinned.is_dir(), "reliable checkpoint dir was not used"
+    assert any(pinned.rglob("*")), "no checkpoint files written"
+    urls = lambda p: {r["url"] for r in spark.read.parquet(p).collect()}
+    assert urls(out_rel) == urls(out_local)
+    assert len(urls(out_rel)) == 1  # near-dup collapsed in both modes

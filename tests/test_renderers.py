@@ -180,3 +180,69 @@ class TestPdfRenderer:
                 + "> Tj").encode() in pdf
         # latin-1-encodable words keep the compact literal form
         assert b"(h\xe9llo) Tj" in pdf
+
+
+class TestPdfRoundTrip:
+    """parse_pdf_text: geometric reconstruction of the text layer —
+    lines by shared baseline, paragraph breaks from extra leading, both
+    string operand encodings — and the fused render+parse operator."""
+
+    def test_parse_reconstructs_structure(self):
+        from tesseract_rs_spark.operators.renderers import (
+            parse_pdf_text,
+            pdf_bytes,
+        )
+
+        # two paragraphs: lines at y=200, 164 (pitch 36), then a 60-gap
+        # paragraph break to y=104, words out of x order within a line
+        rows = [
+            (120, 200, "world"), (16, 200, "hello"),
+            (16, 164, "a(b)c\\d"),
+            (16, 104, "next"), (120, 104, "para"),
+        ]
+        pdf = pdf_bytes(400, 240, rows)
+        assert parse_pdf_text(pdf) == "hello world\na(b)c\\d\n\nnext para\n"
+
+    def test_parse_utf16_hex_words(self):
+        from tesseract_rs_spark.operators.renderers import (
+            parse_pdf_text,
+            pdf_bytes,
+        )
+
+        pdf = pdf_bytes(200, 80, [(16, 40, "héllo"), (90, 40, "日本語")])
+        assert parse_pdf_text(pdf) == "héllo 日本語\n"
+
+    def test_parse_single_line_and_empty(self):
+        from tesseract_rs_spark.operators.renderers import (
+            parse_pdf_text,
+            pdf_bytes,
+        )
+
+        assert parse_pdf_text(pdf_bytes(200, 80, [(16, 40, "solo")])) == "solo\n"
+        assert parse_pdf_text(pdf_bytes(200, 80, [])) == ""
+        assert parse_pdf_text(b"not a pdf") == ""
+
+    def test_roundtrip_operator_equals_golden(self, spark):
+        """Raster page -> ocr_words -> render+parse in one grouped stage
+        == the golden page assembly (the driver-oracle contract the
+        render_boxfiles pdf_text branch relies on)."""
+        from tesseract_rs_spark.kernels.raster import render_page
+        from tesseract_rs_spark.operators.ocr import ocr_words
+        from tesseract_rs_spark.operators.renderers import pdf_roundtrip_text
+
+        text = (
+            "alpha beta gamma delta epsilon zeta eta theta "
+            "iota kappa lam mu nu xi omicron pi "
+            "rho sigma tau upsilon phi chi psi omega"
+        )
+        pages = spark.createDataFrame(
+            [("u1", bytearray(render_page(text, 8, 3)))],
+            "url string, html binary",
+        )
+        words = ocr_words(pages)
+        out = pdf_roundtrip_text(words).collect()[0]
+        lines = [
+            " ".join(text.split()[i : i + 8]) for i in range(0, 24, 8)
+        ]
+        golden = "\n".join(lines) + "\n"
+        assert out["pdf_text"] == golden
