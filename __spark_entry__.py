@@ -356,6 +356,53 @@ def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_curation_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch curation PLUS its Structured-Streaming twin as a tagged
+    branch (upgrades streaming from unit-only to driver-checked): the
+    same pages corpus is written to a temp dir, ingested with
+    ``stream_curate`` (readStream -> fused extract -> shared
+    curation_scored projection -> watermarked digest dedup -> parquet
+    sink, availableNow), and the sink is read back.  Survivor identity
+    is normalized deterministically — the replica id maps onto its
+    original (% 1_000_000; every other column is text-derived, identical
+    for original and replica) and a distinct() collapses the
+    first-arrival-vs-min-id difference AND any watermark-expiry
+    double-keep across micro-batches (availableNow may split file
+    batches; state for a digest can expire between them — the unit test
+    pins the in-horizon dedup semantics, this row pins the end-to-end
+    stream pipeline against the hard batch oracle)."""
+    import tempfile
+
+    from tesseract_rs_spark.streaming.curation import stream_curate
+
+    batch = _q_corpus_curation(spark, sf_dir).withColumn(
+        "branch", F.lit("batch")
+    )
+    docs = _docs(spark, sf_dir)
+    dup = docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    pages = pages_from_documents(
+        docs.unionByName(dup), para_words=PARA_WORDS
+    )
+    base = tempfile.mkdtemp(prefix="tesseract_rs_spark_stream_")
+    inp, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    pages.drop("doc_id").write.mode("overwrite").parquet(inp)
+    q = stream_curate(spark, inp, out, ckpt, min_quality=55, keep_langs=("en",))
+    q.awaitTermination(600)
+    stream = (
+        spark.read.parquet(out)
+        .select(
+            (
+                F.element_at(F.split("url", "/"), -1).cast("long")
+                % 1_000_000
+            ).alias("doc_id"),
+            "lang_pred", "quality", "n_tokens", "fingerprint",
+        )
+        .distinct()
+        .withColumn("branch", F.lit("stream"))
+    )
+    return batch.unionByName(stream)
+
+
 # per-language sampling fractions for corpus_sample (downsample the
 # majority language, keep the rarest whole — the typical rebalance)
 SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.75, "fr": 0.75, "es": 0.75, "zh": 1.0}
@@ -1675,7 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk_m,
         "ann_ivf_topk": _q_ann_ivf_topk,
         # curation / sampling / packing
-        "corpus_curation": _q_corpus_curation,
+        "corpus_curation": _q_corpus_curation_m,
         "corpus_sample": _q_corpus_sample,
         "token_packing": _q_token_packing,
         # multimodal
@@ -3630,7 +3677,11 @@ def oracle_sql() -> dict[str, str]:
         # full-recall IVF (nprobe = nlist) equals the exact top-k
         "ann_ivf_topk": o["ann_cosine_topk"],
         # --- curation / sampling / packing ---
-        "corpus_curation": o["corpus_curation"],
+        "corpus_curation": f"""
+        SELECT 'batch' AS branch, * FROM ({o["corpus_curation"]})
+        UNION ALL
+        SELECT 'stream' AS branch, * FROM ({o["corpus_curation"]})
+        """,
         "corpus_sample": o["corpus_sample"],
         "token_packing": o["token_packing"],
         # --- multimodal ---

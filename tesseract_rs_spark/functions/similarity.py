@@ -436,6 +436,7 @@ def ivf_centroids_kmeans_distributed(
     n_iters: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_fraction: float | None = None,
 ):
     """Distributed spherical k-means codebook — the route past the
     ``MAX_AUTO_NLIST`` driver-Lloyd budget (VERDICT r5 #2).  Billion-
@@ -473,12 +474,31 @@ def ivf_centroids_kmeans_distributed(
     Lloyd (`ivf_centroids_kmeans`) stays the bit-reproducible choice
     within its budget.  Reference analog: none (this is the engine's
     scale-extension surface; the quantizer itself is Abbas et al. 2023
-    SemDeDup's k-means, public)."""
+    SemDeDup's k-means, public).
+
+    ``sample_fraction``: optionally train on a DISTRIBUTED deterministic
+    hash-gated subset (the md5/xxhash-gate idiom of
+    ``functions/sampling.py`` — reproducible across partitionings, and
+    still never a driver collect).  At 10^10 vectors, Lloyd over every
+    vector every iteration buys little once the subset holds hundreds of
+    members per cell — gate to ~(64 × nlist)/n and the ten iteration
+    scans shrink proportionally while assignment of the FULL corpus
+    (``ivf_assign``) is unchanged."""
     if n_centroids < 1:
         raise ValueError(f"n_centroids must be >= 1, got {n_centroids}")
     import warnings
 
     vecs = corpus.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    if sample_fraction is not None:
+        if not 0.0 < sample_fraction <= 1.0:
+            raise ValueError(
+                f"sample_fraction must be in (0, 1], got {sample_fraction}"
+            )
+        denom = max(1, int(round(1.0 / sample_fraction)))
+        if denom > 1:
+            vecs = vecs.filter(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) == 0
+            )
     seed_rows = (
         vecs.orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
         .limit(2 * n_centroids)
@@ -535,18 +555,22 @@ def ivf_centroids_kmeans_distributed(
                     np.add.at(psum, inv, unit)
                     yield pd.DataFrame({"cell": present, "psum": list(psum)})
 
-            rows = (
-                vecs.mapInPandas(gen, schema="cell long, psum array<double>")
-                .groupBy("cell")
-                .agg(
-                    *[
-                        F.sum(F.element_at("psum", i + 1)).alias(f"s{i}")
-                        for i in range(dim)
-                    ]
+            try:
+                rows = (
+                    vecs.mapInPandas(
+                        gen, schema="cell long, psum array<double>"
+                    )
+                    .groupBy("cell")
+                    .agg(
+                        *[
+                            F.sum(F.element_at("psum", i + 1)).alias(f"s{i}")
+                            for i in range(dim)
+                        ]
+                    )
+                    .collect()
                 )
-                .collect()
-            )
-            bc.unpersist()
+            finally:
+                bc.unpersist()
             new = cents.copy()  # empty cells keep their previous centroid
             for r in rows:
                 v = np.array([r[f"s{i}"] for i in range(dim)], dtype=np.float64)

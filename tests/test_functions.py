@@ -1498,3 +1498,51 @@ def test_semantic_dedup_pairs_frame_validated(spark, emb):
     )
     with pytest.raises(ValueError, match="different id"):
         semantic_dedup(base, pairs=bad_type)
+
+
+def test_ivf_kmeans_distributed_sample_gate(spark):
+    """sample_fraction trains on a deterministic hash-gated subset with
+    no driver collect: same codebook under different partitionings,
+    out-of-range fractions rejected."""
+    import numpy as np
+
+    from tesseract_rs_spark.functions.similarity import (
+        ivf_centroids_kmeans_distributed,
+    )
+
+    corpus = spark.createDataFrame(
+        _distinct_unit_vectors(600), "vec_id long, embedding array<float>"
+    )
+    a = ivf_centroids_kmeans_distributed(
+        corpus.repartition(2), 8, n_iters=3, sample_fraction=0.5
+    )
+    b = ivf_centroids_kmeans_distributed(
+        corpus.repartition(7), 8, n_iters=3, sample_fraction=0.5
+    )
+    assert len(a) == len(b) == 8
+    assert np.allclose(
+        np.stack([c for _, c in a]), np.stack([c for _, c in b]), atol=1e-9
+    )
+    with pytest.raises(ValueError, match="sample_fraction"):
+        ivf_centroids_kmeans_distributed(corpus, 4, sample_fraction=1.5)
+    with pytest.raises(ValueError, match="sample_fraction"):
+        ivf_centroids_kmeans_distributed(corpus, 4, sample_fraction=0.0)
+
+
+def test_ivf_kmeans_distributed_empty_and_degenerate(spark):
+    """Empty corpus -> empty codebook (mirrors the other trainers); a
+    corpus with fewer distinct directions than requested cells warns and
+    trains with the distinct count."""
+    from tesseract_rs_spark.functions.similarity import (
+        ivf_centroids_kmeans_distributed,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert ivf_centroids_kmeans_distributed(empty, 4) == []
+    dup = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.warns(UserWarning, match="seeded 1 cells"):
+        cents = ivf_centroids_kmeans_distributed(dup, 4, n_iters=2)
+    assert len(cents) == 1
