@@ -374,20 +374,53 @@ def _pdf_text(w: str) -> str:
     return "(" + _pdf_escape(w) + ")"
 
 
-def pdf_bytes(page_w: int, page_h: int, rows, title: str = "") -> bytes:
+def pdf_bytes(
+    page_w: int, page_h: int, rows, title: str = "", image=None
+) -> bytes:
     """One deterministic, valid PDF 1.4 with a positioned text layer —
     the byte-assembly half of :func:`render_pdf` (driver-free, unit
     testable).  ``rows`` = [(x, y_baseline_from_bottom, word)] in reading
     order.  Every object offset in the xref is computed exactly, so the
     output parses in strict readers and is byte-reproducible (the same
-    determinism contract as every other renderer)."""
+    determinism contract as every other renderer).
+
+    ``image`` (optional) = an (h, w) uint8 grayscale array: the
+    image-under-text mode of the reference's TessPDFRenderer
+    (``textonly=false``, /root/reference/src/result_renderer.rs:69-82) —
+    the page raster is embedded as a FlateDecode /DeviceGray XObject
+    scaled to the MediaBox, drawn first, and the text layer switches to
+    render mode 3 (invisible), so the PDF *shows* the scanned page while
+    staying searchable.  zlib level is pinned for byte determinism."""
     from tesseract_rs_spark.kernels.raster import GLYPH_H
 
     body = "".join(
         "1 0 0 1 %d %d Tm %s Tj\n" % (x, y, _pdf_text(w))
         for x, y, w in rows
     )
-    content = ("BT\n/F1 %d Tf\n" % GLYPH_H) + body + "ET"
+    prefix, mode, xobj = "", "", ""
+    img_obj = None
+    if image is not None:
+        import zlib
+
+        import numpy as np
+
+        arr = np.ascontiguousarray(np.asarray(image, dtype=np.uint8))
+        ih, iw = arr.shape
+        data = zlib.compress(arr.tobytes(), 6)
+        img_obj = (
+            (
+                "<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                "/ColorSpace /DeviceGray /BitsPerComponent 8 "
+                "/Filter /FlateDecode /Length %d >>\nstream\n"
+                % (iw, ih, len(data))
+            ).encode()
+            + data
+            + b"\nendstream"
+        )
+        prefix = "q\n%d 0 0 %d 0 0 cm\n/Im1 Do\nQ\n" % (page_w, page_h)
+        mode = "3 Tr\n"  # invisible text over the visible image
+        xobj = " /XObject << /Im1 6 0 R >>"
+    content = prefix + ("BT\n/F1 %d Tf\n" % GLYPH_H) + mode + body + "ET"
     cbytes = content.encode("latin-1")  # _pdf_text guarantees latin-1
     info = (
         "<< /Title %s >>" % _pdf_text(title) if title else "<< >>"
@@ -397,13 +430,16 @@ def pdf_bytes(page_w: int, page_h: int, rows, title: str = "") -> bytes:
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
         (
             "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d] "
-            "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
-            % (page_w, page_h)
+            "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >>%s >> >>"
+            % (page_w, page_h, xobj)
         ).encode(),
         b"<< /Length %d >>\nstream\n" % len(cbytes) + cbytes + b"\nendstream",
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
-        info,
     ]
+    if img_obj is not None:
+        objs.append(img_obj)
+    objs.append(info)
+    info_num = len(objs)
     out = bytearray(b"%PDF-1.4\n")
     offsets = []
     for i, obj in enumerate(objs, 1):
@@ -415,10 +451,33 @@ def pdf_bytes(page_w: int, page_h: int, rows, title: str = "") -> bytes:
     for off in offsets:
         out += ("%010d 00000 n \n" % off).encode()
     out += (
-        "trailer\n<< /Size %d /Root 1 0 R /Info 6 0 R >>\nstartxref\n%d\n%%%%EOF"
-        % (len(objs) + 1, xref_off)
+        "trailer\n<< /Size %d /Root 1 0 R /Info %d 0 R >>\nstartxref\n%d\n%%%%EOF"
+        % (len(objs) + 1, info_num, xref_off)
     ).encode()
     return bytes(out)
+
+
+def extract_pdf_image(pdf: bytes):
+    """Decode the embedded page image back OUT of an image-under-text
+    :func:`pdf_bytes` PDF -> (h, w) uint8 array, or None for a textonly
+    PDF — the round-trip oracle for the image half (the text half is
+    :func:`parse_pdf_text`)."""
+    import re
+    import zlib
+
+    import numpy as np
+
+    m = re.search(
+        rb"/Subtype /Image /Width (\d+) /Height (\d+) .*?"
+        rb"/Length (\d+) >>\nstream\n",
+        pdf,
+        re.DOTALL,
+    )
+    if m is None:
+        return None
+    iw, ih, n = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    raw = zlib.decompress(pdf[m.end() : m.end() + n])
+    return np.frombuffer(raw, dtype=np.uint8).reshape(ih, iw)
 
 
 def parse_pdf_text(pdf: bytes) -> str:
@@ -525,9 +584,9 @@ def render_pdf(words: DataFrame, key: str = "url", title: str = "") -> DataFrame
     /root/reference/src/result_renderer.rs:69-82): one searchable PDF per
     document with every recognized word placed at its page coordinates
     (PDF's bottom-left origin — the same y-flip as the box renderer),
-    begin_document's title in the Info dictionary.  ``textonly=false``
-    (page image embedded under an invisible text layer) is out of scope:
-    the text layer IS the content this engine exists to extract.
+    begin_document's title in the Info dictionary.  For ``textonly=false``
+    (the page image embedded under an invisible text layer) see
+    :func:`render_pdf_with_image`.
 
     (key, pdf binary).  Byte assembly needs imperative offset arithmetic
     (the xref), so this is the one renderer that runs as grouped
@@ -554,3 +613,62 @@ def render_pdf(words: DataFrame, key: str = "url", title: str = "") -> DataFrame
     return sel.groupBy(key).applyInPandas(
         gen, schema=f"{key} {key_type}, pdf binary"
     )
+
+
+def render_pdf_with_image(
+    words: DataFrame, pages: DataFrame, key: str = "url", title: str = ""
+) -> DataFrame:
+    """``textonly=false`` PDF renderer — the reference's default
+    TessPDFRenderer mode (/root/reference/src/result_renderer.rs:69-82):
+    the source page raster is embedded as a FlateDecode /DeviceGray
+    XObject scaled to the MediaBox with the recognized words drawn OVER
+    it in render mode 3 (invisible), so the output displays the scanned
+    page and stays searchable.  ``pages`` is the raster pages frame the
+    words came from (``key`` + ``html`` PAGE-binary).
+
+    Scale shape: the word layer collapses to ONE array-of-structs row
+    per document JVM-side (``array_sort(collect_list(struct))`` — reading
+    order is the struct's leading id fields), and only then joins the
+    one-row-per-doc page image, so the page raster crosses the shuffle
+    exactly once — never duplicated per word row.  Final byte assembly
+    (decode raster -> grayscale -> zlib -> xref arithmetic) is one
+    ``mapInPandas`` over the joined one-row-per-doc frame."""
+    import pandas as pd
+
+    from tesseract_rs_spark.kernels.raster import decode_page
+
+    key_type = words.schema[key].dataType.simpleString()
+    layer = (
+        words.groupBy(key, "page_width", "page_height")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "block_id", "para_id", "line_id", "word_id",
+                        "left", "bottom", "word",
+                    )
+                )
+            ).alias("_ws")
+        )
+        .join(pages.select(key, "html"), key)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            outs = []
+            for pw, ph, ws, payload in zip(
+                pdf["page_width"], pdf["page_height"], pdf["_ws"], pdf["html"]
+            ):
+                img, _status = decode_page(payload)
+                rows = [
+                    (int(w["left"]), int(ph) - int(w["bottom"]), str(w["word"]))
+                    for w in ws
+                ]
+                outs.append(
+                    pdf_bytes(int(pw), int(ph), rows, title, image=img)
+                )
+            yield pd.DataFrame({key: pdf[key], "pdf": outs})
+
+    return layer.mapInPandas(gen, schema=f"{key} {key_type}, pdf binary")

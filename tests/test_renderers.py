@@ -246,3 +246,94 @@ class TestPdfRoundTrip:
         ]
         golden = "\n".join(lines) + "\n"
         assert out["pdf_text"] == golden
+
+
+class TestPdfImageUnderText:
+    """Image-under-text mode (new_pdf_renderer(..., textonly=false)
+    analog, /root/reference/src/result_renderer.rs:69-82): the page
+    raster embeds as a FlateDecode /DeviceGray XObject drawn under an
+    invisible (render mode 3) text layer; both halves round-trip."""
+
+    def _img(self):
+        import numpy as np
+
+        rng = np.arange(60 * 40, dtype=np.int64) * 97 % 251
+        return rng.reshape(60, 40).astype(np.uint8)
+
+    def test_structure_xref_and_determinism(self):
+        import re
+
+        from tesseract_rs_spark.operators.renderers import pdf_bytes
+
+        rows = [(16, 200, "hello"), (120, 200, "world")]
+        pdf = pdf_bytes(400, 240, rows, title="doc-9", image=self._img())
+        assert pdf.startswith(b"%PDF-1.4\n") and pdf.endswith(b"%%EOF")
+        m = re.search(rb"xref\n0 (\d+)\n", pdf)
+        n = int(m.group(1))
+        assert n == 8  # 6 textonly objects + image XObject + Info
+        table = pdf[m.end():].split(b"\n")
+        for i in range(1, n):
+            off = int(table[i][:10])
+            assert pdf[off:].startswith(b"%d 0 obj" % i), i
+        # image drawn first, scaled to the MediaBox, text invisible
+        assert b"q\n400 0 0 240 0 0 cm\n/Im1 Do\nQ\n" in pdf
+        assert b"3 Tr\n" in pdf
+        assert b"/XObject << /Im1 6 0 R >>" in pdf
+        assert b"/Info 7 0 R" in pdf
+        assert pdf == pdf_bytes(400, 240, rows, title="doc-9",
+                                image=self._img())
+        # textonly output is byte-identical to before this mode existed
+        solo = pdf_bytes(400, 240, rows, title="doc-9")
+        assert b"3 Tr" not in solo and b"/Im1" not in solo
+        assert b"/Info 6 0 R" in solo
+
+    def test_both_halves_round_trip(self):
+        import numpy as np
+
+        from tesseract_rs_spark.operators.renderers import (
+            extract_pdf_image,
+            parse_pdf_text,
+            pdf_bytes,
+        )
+
+        rows = [(16, 200, "hello"), (120, 200, "world"), (16, 164, "again")]
+        pdf = pdf_bytes(400, 240, rows, image=self._img())
+        assert np.array_equal(extract_pdf_image(pdf), self._img())
+        assert parse_pdf_text(pdf) == "hello world\nagain\n"
+        assert extract_pdf_image(pdf_bytes(400, 240, rows)) is None
+
+    def test_operator_embeds_the_source_raster(self, spark):
+        """Raster page -> ocr_words -> render_pdf_with_image: the
+        embedded image equals decode_page's grayscale of the SOURCE
+        page bit-exactly, and the invisible text layer still parses to
+        the golden assembly."""
+        import numpy as np
+
+        from tesseract_rs_spark.kernels.raster import decode_page, render_page
+        from tesseract_rs_spark.operators.ocr import ocr_words
+        from tesseract_rs_spark.operators.renderers import (
+            extract_pdf_image,
+            parse_pdf_text,
+            render_pdf_with_image,
+        )
+
+        text = (
+            "alpha beta gamma delta epsilon zeta eta theta "
+            "iota kappa lam mu nu xi omicron pi"
+        )
+        payload = render_page(text, 8, 3)
+        pages = spark.createDataFrame(
+            [("u1", bytearray(payload))], "url string, html binary"
+        )
+        words = ocr_words(pages).repartition(4)
+        out = {
+            r["url"]: bytes(r["pdf"])
+            for r in render_pdf_with_image(words, pages).collect()
+        }
+        assert set(out) == {"u1"}
+        src_img, status = decode_page(payload)
+        assert status == "ok"
+        assert np.array_equal(extract_pdf_image(out["u1"]), src_img)
+        lines = [" ".join(text.split()[i : i + 8]) for i in range(0, 16, 8)]
+        assert parse_pdf_text(out["u1"]) == "\n".join(lines) + "\n"
+        assert b"3 Tr\n" in out["u1"]
