@@ -1459,8 +1459,19 @@ def _q_render_boxfiles_m(spark, sf_dir):
     operands are parsed straight back to page text inside the same
     grouped stage — on clean pages that reconstruction must equal the
     golden assembly, giving the PDF renderer a hard SQL oracle (the
-    binary structure itself stays pinned by TestPdfRenderer)."""
-    from tesseract_rs_spark.operators.renderers import pdf_roundtrip_text
+    binary structure itself stays pinned by TestPdfRenderer).  r6 adds
+    the IMAGE-UNDER-TEXT branch (``textonly=false``,
+    result_renderer.rs:69-82 default mode): the same pages render with
+    the source raster embedded as a FlateDecode /DeviceGray XObject
+    under a render-mode-3 invisible text layer, and BOTH halves parse
+    back in-stage — pdf_text collapses to an IMG_MISMATCH sentinel
+    unless the embedded image decodes bit-exactly to the source page's
+    grayscale, so the one golden-text oracle also witnesses the image
+    round-trip."""
+    from tesseract_rs_spark.operators.renderers import (
+        pdf_image_roundtrip_text,
+        pdf_roundtrip_text,
+    )
 
     b = _q_render_box(spark, sf_dir).select(
         "doc_id", F.col("box").alias("box_text")
@@ -1472,12 +1483,18 @@ def _q_render_boxfiles_m(spark, sf_dir):
         "doc_id", F.col("wordstr_box").alias("box_text")
     ).withColumn("fmt", F.lit("wordstr_box"))
     pages = raster_pages_from_documents(_docs(spark, sf_dir), WPL, LPP)
-    p = pdf_roundtrip_text(
-        ocr_words(pages, id_cols=("doc_id",)), key="doc_id"
-    ).select(
+    words = ocr_words(pages, id_cols=("doc_id",))
+    p = pdf_roundtrip_text(words, key="doc_id").select(
         "doc_id", F.col("pdf_text").alias("box_text")
     ).withColumn("fmt", F.lit("pdf_text"))
-    return b.unionByName(l).unionByName(w).unionByName(p)
+    pi = pdf_image_roundtrip_text(
+        words, pages.select("doc_id", "html"), key="doc_id"
+    ).select(
+        "doc_id", F.col("pdf_text").alias("box_text")
+    ).withColumn("fmt", F.lit("pdf_img"))
+    return (
+        b.unionByName(l).unionByName(w).unionByName(p).unionByName(pi)
+    )
 
 
 def _q_text_stats_m(spark, sf_dir):
@@ -3503,6 +3520,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'wordstr_box', doc_id, wordstr_box FROM {sub("render_wordstr_box")}
         UNION ALL
         SELECT 'pdf_text', doc_id, text FROM {sub("ocr_text")}
+        UNION ALL
+        SELECT 'pdf_img', doc_id, text FROM {sub("ocr_text")}
         """,
         "word_predicates": o["word_predicates"],
         # --- text analysis ---

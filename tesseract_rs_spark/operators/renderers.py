@@ -615,30 +615,14 @@ def render_pdf(words: DataFrame, key: str = "url", title: str = "") -> DataFrame
     )
 
 
-def render_pdf_with_image(
-    words: DataFrame, pages: DataFrame, key: str = "url", title: str = ""
-) -> DataFrame:
-    """``textonly=false`` PDF renderer — the reference's default
-    TessPDFRenderer mode (/root/reference/src/result_renderer.rs:69-82):
-    the source page raster is embedded as a FlateDecode /DeviceGray
-    XObject scaled to the MediaBox with the recognized words drawn OVER
-    it in render mode 3 (invisible), so the output displays the scanned
-    page and stays searchable.  ``pages`` is the raster pages frame the
-    words came from (``key`` + ``html`` PAGE-binary).
-
-    Scale shape: the word layer collapses to ONE array-of-structs row
-    per document JVM-side (``array_sort(collect_list(struct))`` — reading
-    order is the struct's leading id fields), and only then joins the
-    one-row-per-doc page image, so the page raster crosses the shuffle
-    exactly once — never duplicated per word row.  Final byte assembly
-    (decode raster -> grayscale -> zlib -> xref arithmetic) is one
-    ``mapInPandas`` over the joined one-row-per-doc frame."""
-    import pandas as pd
-
-    from tesseract_rs_spark.kernels.raster import decode_page
-
-    key_type = words.schema[key].dataType.simpleString()
-    layer = (
+def _image_layer(words: DataFrame, pages: DataFrame, key: str) -> DataFrame:
+    """Shared scale shape of the image-under-text renderers: the word
+    layer collapses to ONE array-of-structs row per document JVM-side
+    (``array_sort(collect_list(struct))`` — reading order is the struct's
+    leading id fields), and only then joins the one-row-per-doc page
+    raster, so the image crosses the shuffle exactly once — never
+    duplicated per word row."""
+    return (
         words.groupBy(key, "page_width", "page_height")
         .agg(
             F.array_sort(
@@ -653,6 +637,72 @@ def render_pdf_with_image(
         .join(pages.select(key, "html"), key)
     )
 
+
+def _image_pdf(pw, ph, ws, payload, title: str):
+    """One joined layer row -> (pdf bytes, source gray image | None)."""
+    from tesseract_rs_spark.kernels.raster import decode_page
+
+    img, _status = decode_page(payload)
+    rows = [
+        (int(w["left"]), int(ph) - int(w["bottom"]), str(w["word"]))
+        for w in ws
+    ]
+    return pdf_bytes(int(pw), int(ph), rows, title, image=img), img
+
+
+def render_pdf_with_image(
+    words: DataFrame, pages: DataFrame, key: str = "url", title: str = ""
+) -> DataFrame:
+    """``textonly=false`` PDF renderer — the reference's default
+    TessPDFRenderer mode (/root/reference/src/result_renderer.rs:69-82):
+    the source page raster is embedded as a FlateDecode /DeviceGray
+    XObject scaled to the MediaBox with the recognized words drawn OVER
+    it in render mode 3 (invisible), so the output displays the scanned
+    page and stays searchable.  ``pages`` is the raster pages frame the
+    words came from (``key`` + ``html`` PAGE-binary).
+
+    (key, pdf binary).  Final byte assembly (decode raster -> grayscale
+    -> zlib -> xref arithmetic) is one ``mapInPandas`` over the
+    one-row-per-doc :func:`_image_layer` frame."""
+    import pandas as pd
+
+    key_type = words.schema[key].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            outs = [
+                _image_pdf(pw, ph, ws, payload, title)[0]
+                for pw, ph, ws, payload in zip(
+                    pdf["page_width"], pdf["page_height"],
+                    pdf["_ws"], pdf["html"],
+                )
+            ]
+            yield pd.DataFrame({key: pdf[key], "pdf": outs})
+
+    return _image_layer(words, pages, key).mapInPandas(
+        gen, schema=f"{key} {key_type}, pdf binary"
+    )
+
+
+def pdf_image_roundtrip_text(
+    words: DataFrame, pages: DataFrame, key: str = "url", title: str = ""
+) -> DataFrame:
+    """Render each document's image-under-text PDF and parse BOTH halves
+    back in the SAME stage: the Tm/Tj text layer reconstructs to page
+    text (:func:`parse_pdf_text`) and the embedded XObject must decode
+    bit-exactly to the source page's grayscale
+    (:func:`extract_pdf_image` vs ``decode_page``).  (key, pdf_text):
+    the parsed text when the image round-trips, else an
+    ``IMG_MISMATCH`` sentinel — so one string column carries evidence
+    for both halves and the textonly SQL oracle (the golden page
+    assembly) stays the oracle for this mode too."""
+    import numpy as np
+    import pandas as pd
+
+    key_type = words.schema[key].dataType.simpleString()
+
     def gen(batches):
         for pdf in batches:
             if not len(pdf):
@@ -661,14 +711,18 @@ def render_pdf_with_image(
             for pw, ph, ws, payload in zip(
                 pdf["page_width"], pdf["page_height"], pdf["_ws"], pdf["html"]
             ):
-                img, _status = decode_page(payload)
-                rows = [
-                    (int(w["left"]), int(ph) - int(w["bottom"]), str(w["word"]))
-                    for w in ws
-                ]
-                outs.append(
-                    pdf_bytes(int(pw), int(ph), rows, title, image=img)
+                blob, src = _image_pdf(pw, ph, ws, payload, title)
+                back = extract_pdf_image(blob)
+                ok = (
+                    src is None and back is None
+                ) or (
+                    src is not None
+                    and back is not None
+                    and np.array_equal(np.asarray(src, dtype=np.uint8), back)
                 )
-            yield pd.DataFrame({key: pdf[key], "pdf": outs})
+                outs.append(parse_pdf_text(blob) if ok else "IMG_MISMATCH")
+            yield pd.DataFrame({key: pdf[key], "pdf_text": outs})
 
-    return layer.mapInPandas(gen, schema=f"{key} {key_type}, pdf binary")
+    return _image_layer(words, pages, key).mapInPandas(
+        gen, schema=f"{key} {key_type}, pdf_text string"
+    )
