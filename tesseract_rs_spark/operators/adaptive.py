@@ -45,6 +45,57 @@ from tesseract_rs_spark.config import ExtractConfig
 _CELL_SHAPE_ROW = -1  # pos of the per-char example-count row
 
 
+def accumulate_page_glyphs(acc: dict, payload, truth: str | None) -> None:
+    """Fold one labeled page into a glyph accumulator
+    ``{char: [pixel-count int64 vec, n_examples]}`` — the per-page half
+    of :func:`learn_glyphs`, shared with the streaming sequential
+    adaptation (`streaming/adaptive.py`).  Misaligned pages are skipped
+    defensively (adaptation must never learn from a misalignment)."""
+    from tesseract_rs_spark.kernels.raster import (
+        GLYPH_H,
+        GLYPH_W,
+        STATUS_OK,
+        _word_cells,
+        connected_components,
+        decode_page,
+        otsu_threshold,
+        segment_layout,
+    )
+
+    cell = GLYPH_H * GLYPH_W
+    img, status = decode_page(payload)
+    if status != STATUS_OK:
+        return
+    binary = img <= otsu_threshold(img)
+    _, stats = connected_components(binary)
+    layout = segment_layout(stats)
+    toks = [w for w in (truth or "").split(" ") if w]
+    boxes = [b for _p, _l, bs in layout for b in bs]
+    if len(boxes) != len(toks):
+        return
+    for box, tw in zip(boxes, toks):
+        cells = _word_cells(binary, box)
+        if len(cells) != len(tw):
+            continue
+        for ch, c in zip(tw, cells):
+            a = acc.setdefault(ch, [np.zeros(cell, dtype=np.int64), 0])
+            a[0] += c
+            a[1] += 1
+
+
+def atlas_from_acc(acc: dict) -> dict:
+    """Accumulator -> atlas: strict per-pixel majority (ties OFF — any
+    tie-break works; strict-off is partition/arrival-order independent).
+    Empty accumulator -> empty atlas (the streaming operator decodes
+    with the embedded models until the first labeled page arrives)."""
+    from tesseract_rs_spark.kernels.raster import GLYPH_H, GLYPH_W
+
+    return {
+        ch: (2 * vec > n).reshape(GLYPH_H, GLYPH_W)
+        for ch, (vec, n) in acc.items()
+    }
+
+
 def learn_glyphs(
     pages: DataFrame,
     truth_col: str = "truth",
@@ -61,16 +112,7 @@ def learn_glyphs(
     unadapted decode while the caller believes adaptation ran.  Returns
     a plain dict sized ~charset x cell (KBs); feed it to
     :func:`ocr_text_adapted` or ``kernels.raster.register_atlas``."""
-    from tesseract_rs_spark.kernels.raster import (
-        GLYPH_H,
-        GLYPH_W,
-        STATUS_OK,
-        _word_cells,
-        connected_components,
-        decode_page,
-        otsu_threshold,
-        segment_layout,
-    )
+    from tesseract_rs_spark.kernels.raster import GLYPH_H, GLYPH_W
 
     cell = GLYPH_H * GLYPH_W
 
@@ -78,26 +120,7 @@ def learn_glyphs(
         for pdf in batches:
             acc: dict = {}
             for payload, truth in zip(pdf[payload_col], pdf[truth_col]):
-                img, status = decode_page(payload)
-                if status != STATUS_OK:
-                    continue
-                binary = img <= otsu_threshold(img)
-                _, stats = connected_components(binary)
-                layout = segment_layout(stats)
-                toks = [w for w in (truth or "").split(" ") if w]
-                boxes = [b for _p, _l, bs in layout for b in bs]
-                if len(boxes) != len(toks):
-                    continue
-                for box, tw in zip(boxes, toks):
-                    cells = _word_cells(binary, box)
-                    if len(cells) != len(tw):
-                        continue
-                    for ch, c in zip(tw, cells):
-                        a = acc.setdefault(
-                            ch, [np.zeros(cell, dtype=np.int64), 0]
-                        )
-                        a[0] += c
-                        a[1] += 1
+                accumulate_page_glyphs(acc, payload, truth)
             if not acc:
                 continue
             chars, poss, cnts = [], [], []
@@ -134,15 +157,13 @@ def learn_glyphs(
             "pages upright and the truth strings space-tokenized to "
             "match the rendering?)"
         )
-    atlas = {}
+    acc: dict = {}
     for ch, n in ns.items():
         vec = np.zeros(cell, dtype=np.int64)
         for pos, c in counts.get(ch, {}).items():
             vec[pos] = c
-        # strict per-pixel majority: ties (2*cnt == n) are OFF — any
-        # tie-break works, strict-off is partition-order independent
-        atlas[ch] = (2 * vec > n).reshape(GLYPH_H, GLYPH_W)
-    return atlas
+        acc[ch] = [vec, n]
+    return atlas_from_acc(acc)
 
 
 def ocr_text_adapted(
