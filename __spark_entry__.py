@@ -991,16 +991,19 @@ def _q_dedup_embedding(spark, sf_dir):
 
 
 def _q_dedup_embedding_m(spark, sf_dir):
-    """Embedding near-dup surface, three operators tagged by method:
+    """Embedding near-dup surface, four operators tagged by method:
     the LSH + exact-verify pairs, the SemDeDup IVF cell-bucketed pairs,
-    and the full semantic_dedup survivor set (pairs -> connected
-    components -> min-id survivor per component).  The IVF branches run
-    at n_centroids=1 — every vector in ONE cell — the full-recall regime
-    where the cell-bucketed pairs equal the exact all-pairs answer and
-    the survivor set is exactly computable by a recursive-CTE
-    min-reachability oracle (the same trick ann_ivf_topk uses; the
-    multi-cell approximate regime is recall-gated in tests)."""
+    the IMI product-grid pairs, and the full semantic_dedup survivor set
+    (pairs -> connected components -> min-id survivor per component).
+    The quantized branches run in their full-recall regimes — IVF at
+    n_centroids=1 (every vector in ONE cell), IMI at one cell per half
+    (product grid = ONE composite cell) — where the cell-bucketed pairs
+    equal the exact all-pairs answer and the survivor set is exactly
+    computable by a recursive-CTE min-reachability oracle (the same
+    trick ann_ivf_topk uses; the multi-cell approximate regimes are
+    recall-gated in tests)."""
     from tesseract_rs_spark.functions.similarity import (
+        embedding_dup_pairs_imi,
         embedding_dup_pairs_ivf,
         semantic_dedup,
     )
@@ -1017,6 +1020,9 @@ def _q_dedup_embedding_m(spark, sf_dir):
         emb, threshold=0.45, n_centroids=1, train="kmeans"
     ).localCheckpoint()
     ivf = ivf_pairs.select(F.lit("ivf_pair").alias("method"), "id_a", "id_b")
+    imi = embedding_dup_pairs_imi(
+        emb, threshold=0.45, n_cells_per_half=1, train="kmeans"
+    ).select(F.lit("imi_pair").alias("method"), "id_a", "id_b")
     surv = semantic_dedup(
         emb, threshold=0.45, n_centroids=1, train="kmeans", pairs=ivf_pairs
     ).select(
@@ -1024,7 +1030,7 @@ def _q_dedup_embedding_m(spark, sf_dir):
         F.col("vec_id").alias("id_a"),
         F.lit(None).cast("long").alias("id_b"),
     )
-    return lsh.unionByName(ivf).unionByName(surv)
+    return lsh.unionByName(ivf).unionByName(imi).unionByName(surv)
 
 
 def _q_media_image_stats(spark, sf_dir):
@@ -3654,10 +3660,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_paragraphs": o["dedup_paragraphs"],
         # LSH pairs, IVF cell-bucketed pairs at n_centroids=1 (single
-        # cell -> full recall -> both equal the exact all-pairs set),
-        # and the semantic_dedup survivor set = corpus minus every
-        # non-minimum member of each pair-graph component (recursive-CTE
-        # min-reachability, the dedup_clusters oracle idiom)
+        # cell -> full recall), IMI product-grid pairs at one cell per
+        # half (1x1 grid -> full recall -> all three equal the exact
+        # all-pairs set), and the semantic_dedup survivor set = corpus
+        # minus every non-minimum member of each pair-graph component
+        # (recursive-CTE min-reachability, the dedup_clusters oracle
+        # idiom)
         "dedup_embedding": """
         WITH RECURSIVE e AS (
           SELECT CAST(vec_id AS BIGINT) AS vec_id,
@@ -3682,6 +3690,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'lsh_pair' AS method, id_a, id_b FROM p
         UNION ALL
         SELECT 'ivf_pair', id_a, id_b FROM p
+        UNION ALL
+        SELECT 'imi_pair', id_a, id_b FROM p
         UNION ALL
         SELECT 'semantic_survivor', vec_id, CAST(NULL AS BIGINT)
         FROM e WHERE vec_id NOT IN (SELECT u FROM comp WHERE u <> cid)

@@ -96,6 +96,38 @@ def embedding_dup_pairs_exact(
     )
 
 
+def _verify_candidate_pairs(
+    corpus: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact-cosine verification of a candidate (id_a, id_b) frame — the
+    shared tail of every bucketed miner (LSH / IVF / IMI): two equi-joins
+    pull the vectors back in, the cosine computes JVM-side
+    (``F.aggregate`` dot + norms, whole-stage codegen), survivors keep
+    only the id pair.  Candidate volume is the scale knob upstream; this
+    stage is exact by construction."""
+    a = corpus.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_av"),
+        _norm(F.col(vec_col)).alias("_an"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_bv"),
+        _norm(F.col(vec_col)).alias("_bn"),
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("_cos", _dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn")))
+        .filter(F.col("_cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
 def lsh_params_for_threshold(
     threshold: float,
     miss_target: float = 1e-6,
@@ -191,23 +223,7 @@ def embedding_dup_pairs(
     # degenerate-bucket guard: all-zero / duplicate-heavy embeddings pile
     # into one bucket; the chunked triangle join bounds per-task work
     cand = guarded_pair_join(sig, ["table", "bucket"], id_col)
-    a = corpus.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("_av"),
-        _norm(F.col(vec_col)).alias("_an"),
-    )
-    b = corpus.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("_bv"),
-        _norm(F.col(vec_col)).alias("_bn"),
-    )
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("_cos", _dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn")))
-        .filter(F.col("_cos") >= threshold)
-        .select("id_a", "id_b")
-    )
+    return _verify_candidate_pairs(corpus, cand, threshold, id_col, vec_col)
 
 
 def lsh_signatures(
@@ -296,6 +312,20 @@ def ivf_centroids(
 SEMDEDUP_CELL_TARGET = 256
 KMEANS_OVERSAMPLE = 8
 MAX_AUTO_NLIST = 8192
+# The distributed trainer has no TRAINING-sample collect, but the
+# codebook itself is driver-resident and broadcast by design
+# (ivf_assign ships it inside the task closure), so nlist is still
+# bounded by codebook bytes: nlist x dim float64 = ~400 MB at 65,536
+# cells x dim 768, plus a 2x-oversampled seed collect and a <=nlist-row
+# update collect per iteration of the same order.  Past this a FLAT
+# codebook is the wrong structure at any driver size — billion-cell
+# quantizers need a hierarchical/multi-index codebook (IMI-style), a
+# different algorithm, so the guard RAISES rather than silently
+# degrading (review r6: the unguarded path OOMed the driver at exactly
+# the corpus scale the feature exists for).  At the 256-member cell
+# target this budget covers corpora to ~16.7M vectors; beyond, raise
+# the cell target (cells of n/65536 members) or shard the corpus.
+MAX_DISTRIBUTED_NLIST = 65536
 
 
 def auto_nlist(n: int) -> int:
@@ -483,9 +513,27 @@ def ivf_centroids_kmeans_distributed(
     vector every iteration buys little once the subset holds hundreds of
     members per cell — gate to ~(64 × nlist)/n and the ten iteration
     scans shrink proportionally while assignment of the FULL corpus
-    (``ivf_assign``) is unchanged."""
+    (``ivf_assign``) is unchanged.
+
+    nlist is bounded by ``MAX_DISTRIBUTED_NLIST`` (the flat-codebook
+    budget — see the constant's derivation): there is no training-sample
+    collect, but the codebook itself is driver-resident and broadcast by
+    design, and past ~65k cells a flat quantizer is the wrong structure
+    at any driver size (hierarchical codebooks are a different
+    algorithm).  The guard raises rather than silently degrading."""
     if n_centroids < 1:
         raise ValueError(f"n_centroids must be >= 1, got {n_centroids}")
+    if n_centroids > MAX_DISTRIBUTED_NLIST:
+        raise ValueError(
+            f"n_centroids={n_centroids} exceeds the flat-codebook budget "
+            f"({MAX_DISTRIBUTED_NLIST}): the codebook is driver-resident "
+            "and broadcast by design (nlist x dim float64, plus seed and "
+            "per-iteration update collects of the same order), so past "
+            "this bound a flat quantizer is the wrong structure at ANY "
+            "driver size — raise the per-cell member target (cells of "
+            f"n/{MAX_DISTRIBUTED_NLIST} members) or build a hierarchical "
+            "(two-level) codebook instead"
+        )
     import warnings
 
     vecs = corpus.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
@@ -499,35 +547,39 @@ def ivf_centroids_kmeans_distributed(
             vecs = vecs.filter(
                 F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) == 0
             )
-    seed_rows = (
-        vecs.orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
-        .limit(2 * n_centroids)
-        .collect()
-    )
-    if not seed_rows:
-        return []
-    smat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in seed_rows])
-    sn = np.linalg.norm(smat, axis=1)
-    sn[sn == 0.0] = 1.0
-    sunit = smat / sn[:, None]
-    _, first = np.unique(sunit, axis=0, return_index=True)
-    cents = sunit[np.sort(first)[:n_centroids]].copy()
-    k = len(cents)
-    if k < n_centroids:
-        warnings.warn(
-            f"distributed k-means seeded {k} cells, not the requested "
-            f"{n_centroids}: the 2x-oversampled seed draw held only {k} "
-            "distinct vectors (a duplicate-heavy corpus). The codebook "
-            "trains with k cells; if the corpus truly has more distinct "
-            "vectors, raise the oversample by seeding manually.",
-            UserWarning,
-            stacklevel=2,
-        )
-    dim = cents.shape[1]
-    spark = corpus.sparkSession
+    # persist BEFORE the seed collect: the seed job materializes the
+    # cache, so an expensive upstream lineage (extraction, joins) runs
+    # once, not once for seeds plus once for iteration 1 (review r6)
     vecs = vecs.persist()
     try:
-        vecs.count()  # materialize once; every iteration re-reads the cache
+        seed_rows = (
+            vecs.orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+            .limit(2 * n_centroids)
+            .collect()
+        )
+        if not seed_rows:
+            return []
+        smat = np.stack(
+            [np.asarray(r[vec_col], dtype=np.float64) for r in seed_rows]
+        )
+        sn = np.linalg.norm(smat, axis=1)
+        sn[sn == 0.0] = 1.0
+        sunit = smat / sn[:, None]
+        _, first = np.unique(sunit, axis=0, return_index=True)
+        cents = sunit[np.sort(first)[:n_centroids]].copy()
+        k = len(cents)
+        if k < n_centroids:
+            warnings.warn(
+                f"distributed k-means seeded {k} cells, not the requested "
+                f"{n_centroids}: the 2x-oversampled seed draw held only {k} "
+                "distinct vectors (a duplicate-heavy corpus). The codebook "
+                "trains with k cells; if the corpus truly has more distinct "
+                "vectors, raise the oversample by seeding manually.",
+                UserWarning,
+                stacklevel=2,
+            )
+        dim = cents.shape[1]
+        spark = corpus.sparkSession
         for _ in range(n_iters):
             bc = spark.sparkContext.broadcast(cents)
 
@@ -581,6 +633,36 @@ def ivf_centroids_kmeans_distributed(
     finally:
         vecs.unpersist()
     return [(i, cents[i]) for i in range(k)]
+
+
+def _train_codebook(
+    corpus: DataFrame,
+    n_centroids: int,
+    train: str,
+    id_col: str,
+    vec_col: str,
+    kmeans_sample_fraction: float | None = None,
+):
+    """Shared ``train=`` dispatch for the IVF family (ann_ivf_topk /
+    embedding_dup_pairs_ivf): 'ids' | 'kmeans' | 'distributed'.
+    ``kmeans_sample_fraction`` reaches the distributed trainer's
+    hash-gated subset training (it has no meaning for the other modes,
+    which sample by row count)."""
+    if train == "kmeans":
+        return ivf_centroids_kmeans(
+            corpus, n_centroids, sample_size=kmeans_sample_size(n_centroids),
+            id_col=id_col, vec_col=vec_col,
+        )
+    if train == "distributed":
+        return ivf_centroids_kmeans_distributed(
+            corpus, n_centroids, id_col=id_col, vec_col=vec_col,
+            sample_fraction=kmeans_sample_fraction,
+        )
+    if train == "ids":
+        return ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    raise ValueError(
+        f"train must be 'ids', 'kmeans' or 'distributed', got {train!r}"
+    )
 
 
 def ivf_assign(
@@ -642,6 +724,7 @@ def ann_ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train: str = "ids",
+    kmeans_sample_fraction: float | None = None,
 ) -> DataFrame:
     """IVF approximate top-k (the coarse-quantizer scale path): corpus
     vectors bucket into their nearest centroid's cell (map-only GEMM);
@@ -662,22 +745,13 @@ def ann_ivf_topk(
     ``"kmeans"`` = deterministic spherical k-means on a hash-gated
     sample (:func:`ivf_centroids_kmeans`) — the production shape within
     the driver-Lloyd budget; ``"distributed"`` = full-corpus distributed
-    Lloyd (:func:`ivf_centroids_kmeans_distributed`) — any nlist."""
-    if train == "kmeans":
-        cents = ivf_centroids_kmeans(
-            corpus, n_centroids, sample_size=kmeans_sample_size(n_centroids),
-            id_col=id_col, vec_col=vec_col,
-        )
-    elif train == "distributed":
-        cents = ivf_centroids_kmeans_distributed(
-            corpus, n_centroids, id_col=id_col, vec_col=vec_col
-        )
-    elif train == "ids":
-        cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
-    else:
-        raise ValueError(
-            f"train must be 'ids', 'kmeans' or 'distributed', got {train!r}"
-        )
+    Lloyd (:func:`ivf_centroids_kmeans_distributed`) — nlist past the
+    driver-Lloyd budget up to the flat-codebook bound
+    (``MAX_DISTRIBUTED_NLIST``), with optional hash-gated subset
+    training via ``kmeans_sample_fraction``."""
+    cents = _train_codebook(
+        corpus, n_centroids, train, id_col, vec_col, kmeans_sample_fraction
+    )
     c_cells = ivf_assign(corpus, cents, 1, id_col, vec_col).withColumnRenamed(
         id_col, "neighbor_id"
     )
@@ -724,6 +798,7 @@ def embedding_dup_pairs_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train: str = "kmeans",
+    kmeans_sample_fraction: float | None = None,
 ) -> DataFrame:
     """SemDeDup-style near-dup pairs (Abbas et al. 2023, public): cluster
     the embedding space with the IVF coarse quantizer, mine candidate
@@ -750,54 +825,224 @@ def embedding_dup_pairs_ivf(
     silently capped nlist above ~1M vectors (VERDICT r4).  Past the
     MAX_AUTO_NLIST driver-Lloyd budget (~2.1M vectors at the 256-member
     target) the sampled-Lloyd auto path warns and caps; with
-    ``train="distributed"`` the auto-sizing is UNCAPPED — the
-    distributed Lloyd (:func:`ivf_centroids_kmeans_distributed`) has no
-    driver-side training cost, so the ~256-member cell guarantee holds
-    at any corpus size (this is the corpus-scale production shape;
-    ``train="ids"`` remains the no-training fallback)."""
+    ``train="distributed"`` the auto-sizing runs to the flat-codebook
+    bound ``MAX_DISTRIBUTED_NLIST`` (the distributed Lloyd has no
+    driver-side TRAINING cost, but the codebook itself stays
+    driver-resident/broadcast — the auto path warns when it clamps
+    there, ~16.7M vectors at the 256-member target; this is the
+    corpus-scale production shape, ``train="ids"`` the no-training
+    fallback).  ``kmeans_sample_fraction`` threads to the distributed
+    trainer's hash-gated subset training."""
     from tesseract_rs_spark.functions.dedup import guarded_pair_join
 
     if n_centroids is None:
         if train == "distributed":
-            # no driver-Lloyd budget to respect: keep ~256-member cells
-            # at any corpus size
-            n_centroids = max(4, corpus.count() // SEMDEDUP_CELL_TARGET)
+            import warnings
+
+            want = max(4, corpus.count() // SEMDEDUP_CELL_TARGET)
+            if want > MAX_DISTRIBUTED_NLIST:
+                warnings.warn(
+                    f"auto-sized IVF cell count clamped at "
+                    f"{MAX_DISTRIBUTED_NLIST} (corpus wants {want} for "
+                    f"~{SEMDEDUP_CELL_TARGET}-member cells): the flat "
+                    "codebook is driver-resident/broadcast — cells will "
+                    "hold ~n/65536 members, growing candidate volume "
+                    "proportionally",
+                    UserWarning,
+                    stacklevel=2,
+                )
+            n_centroids = min(want, MAX_DISTRIBUTED_NLIST)
         else:
             n_centroids = auto_nlist(corpus.count())
-    if train == "kmeans":
-        cents = ivf_centroids_kmeans(
-            corpus, n_centroids, sample_size=kmeans_sample_size(n_centroids),
-            id_col=id_col, vec_col=vec_col,
-        )
-    elif train == "distributed":
-        cents = ivf_centroids_kmeans_distributed(
-            corpus, n_centroids, id_col=id_col, vec_col=vec_col
-        )
-    elif train == "ids":
-        cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
-    else:
-        raise ValueError(
-            f"train must be 'ids', 'kmeans' or 'distributed', got {train!r}"
-        )
+    cents = _train_codebook(
+        corpus, n_centroids, train, id_col, vec_col, kmeans_sample_fraction
+    )
     cells = ivf_assign(corpus, cents, 1, id_col, vec_col)
     cand = guarded_pair_join(cells, ["cell"], id_col)
-    a = corpus.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("_av"),
-        _norm(F.col(vec_col)).alias("_an"),
+    return _verify_candidate_pairs(corpus, cand, threshold, id_col, vec_col)
+
+
+def imi_codebooks(
+    corpus: DataFrame,
+    n_cells_per_half: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train: str = "distributed",
+    kmeans_sample_fraction: float | None = None,
+):
+    """Two-level product quantizer codebooks (inverted multi-index,
+    Babenko & Lempitsky CVPR 2012 — public): train one sub-codebook per
+    VECTOR HALF, so the composite cell space is the product grid —
+    ``n_cells_per_half ** 2`` effective cells from only
+    ``2 * n_cells_per_half`` driver-resident centroid rows.  This is the
+    route past the flat-codebook bound (``MAX_DISTRIBUTED_NLIST``): a
+    10^10-vector corpus wanting ~n/256 cells needs ~4 * 10^7 of them —
+    a 200+ GB flat codebook, but two 6,250-row sub-codebooks here.
+
+    Halves slice JVM-side (``F.slice``) before each training run, so the
+    trainers' scale shapes are unchanged (``train=`` dispatches exactly
+    like the flat family; 'distributed' is the production default since
+    IMI only matters past the driver-Lloyd budget).  Returns
+    ``(cents_lo, cents_hi)`` — each a flat-codebook-shaped
+    ``[(cell_id, unit_vector)]`` list over its half's dimensions.
+
+    Duplicate-heavy halves can seed fewer cells than requested (the
+    trainers warn); :func:`imi_assign` reads the actual sizes, so the
+    composite grid just shrinks."""
+    dim_row = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("d"))
+        .first()
     )
-    b = corpus.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("_bv"),
-        _norm(F.col(vec_col)).alias("_bn"),
+    if dim_row is None:
+        raise ValueError(
+            "imi_codebooks needs a non-empty corpus to split: no non-null "
+            f"{vec_col!r} rows"
+        )
+    dim = dim_row["d"]
+    if dim < 2:
+        raise ValueError(
+            f"IMI needs >= 2 dimensions to split into halves, got {dim}"
+        )
+    half = dim // 2
+    lo = corpus.select(id_col, F.slice(F.col(vec_col), 1, half).alias(vec_col))
+    hi = corpus.select(
+        id_col, F.slice(F.col(vec_col), half + 1, dim - half).alias(vec_col)
     )
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("_cos", _dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn")))
-        .filter(F.col("_cos") >= threshold)
-        .select("id_a", "id_b")
+    cents_lo = _train_codebook(
+        lo, n_cells_per_half, train, id_col, vec_col, kmeans_sample_fraction
     )
+    cents_hi = _train_codebook(
+        hi, n_cells_per_half, train, id_col, vec_col, kmeans_sample_fraction
+    )
+    return cents_lo, cents_hi
+
+
+def imi_assign(
+    df: DataFrame,
+    cents_lo,
+    cents_hi,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) over the IMI product grid: each vector's two halves
+    assign independently to their nearest sub-centroid by cosine (ties
+    on centroid index, mirroring :func:`ivf_assign`), and the composite
+    cell is ``cell_lo * grid_width + cell_hi`` — a single long, so every
+    downstream consumer (``guarded_pair_join``, the cell equi-join) is
+    unchanged.  One numpy GEMM per half per Arrow batch against the two
+    broadcast sub-codebooks — map-only, no shuffle, constant bytes per
+    vector, exactly the flat :func:`ivf_assign` shape with half-width
+    matrices."""
+    if not cents_lo or not cents_hi:
+        raise ValueError(
+            "empty IMI sub-codebook: train both halves on a non-empty "
+            "corpus (imi_codebooks)"
+        )
+
+    def _prep(cents):
+        mat = np.stack([c for _, c in cents])
+        n = np.linalg.norm(mat, axis=1)
+        n[n == 0.0] = 1.0
+        return mat, n, np.array([i for i, _ in cents], dtype=np.int64)
+
+    lo_mat, lo_n, lo_ids = _prep(cents_lo)
+    hi_mat, hi_n, hi_ids = _prep(cents_hi)
+    half = lo_mat.shape[1]
+    dim = half + hi_mat.shape[1]
+    grid_w = int(hi_ids.max()) + 1
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _nearest(mat, cmat, cn, cids):
+        vn = np.linalg.norm(mat, axis=1)
+        vn[vn == 0.0] = 1.0
+        cos = (mat @ cmat.T) / vn[:, None] / cn[None, :]
+        # argmax with index tiebreak: stable argsort on the negation
+        return cids[np.argsort(-cos, axis=1, kind="stable")[:, 0]]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if not len(pdf):
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if mat.shape[1] != dim:
+                raise ValueError(
+                    f"vector dim {mat.shape[1]} != codebook dim {dim}: "
+                    "the IMI sub-codebooks were trained on a different "
+                    "embedding width"
+                )
+            ca = _nearest(mat[:, :half], lo_mat, lo_n, lo_ids)
+            cb = _nearest(mat[:, half:], hi_mat, hi_n, hi_ids)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "cell": ca * grid_w + cb}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{id_col} {id_type}, cell long"
+    )
+
+
+def embedding_dup_pairs_imi(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    n_cells_per_half: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train: str = "distributed",
+    kmeans_sample_fraction: float | None = None,
+) -> DataFrame:
+    """SemDeDup-style near-dup pairs over the IMI product grid — the
+    quantizer shape PAST the flat-codebook bound.  Identical pipeline to
+    :func:`embedding_dup_pairs_ivf` (cell-bucket, chunked within-cell
+    candidates, exact-cosine verify) with the composite cell from
+    :func:`imi_assign`, so the effective cell count is
+    ``n_cells_per_half ** 2`` while the driver holds only
+    ``2 * n_cells_per_half`` centroid rows.
+
+    Recall tradeoff vs flat IVF at the same effective cell count: a pair
+    must agree on BOTH half-assignments, so the boundary surface is the
+    product grid's — strictly more fragmenting than one trained
+    partition of the full space (the standard IMI tradeoff; exact
+    duplicates still always share a cell, and every emitted pair is
+    exact-verified).  Use flat IVF while nlist fits its bounds; IMI when
+    the corpus wants more cells than a flat codebook can hold.
+
+    ``n_cells_per_half=None`` auto-sizes from the corpus:
+    ``ceil(sqrt(n / SEMDEDUP_CELL_TARGET))`` per half keeps composite
+    cells at ~256 members, bounded by each trainer's own budget
+    (driver-Lloyd for 'kmeans', flat-codebook for 'distributed' — at the
+    distributed bound the GRID covers ~10^12 vectors, so the clamp warn
+    is practically unreachable)."""
+    from tesseract_rs_spark.functions.dedup import guarded_pair_join
+
+    if n_cells_per_half is None:
+        import math
+
+        want_eff = max(4, corpus.count() // SEMDEDUP_CELL_TARGET)
+        n_cells_per_half = max(2, math.isqrt(want_eff - 1) + 1)
+        limit = (
+            MAX_DISTRIBUTED_NLIST if train == "distributed" else MAX_AUTO_NLIST
+        )
+        if n_cells_per_half > limit:
+            import warnings
+
+            warnings.warn(
+                f"auto-sized IMI sub-codebook clamped at {limit} cells per "
+                f"half (corpus wants {n_cells_per_half}): composite cells "
+                f"will hold ~n/{limit * limit} members",
+                UserWarning,
+                stacklevel=2,
+            )
+            n_cells_per_half = limit
+    cents_lo, cents_hi = imi_codebooks(
+        corpus, n_cells_per_half, id_col, vec_col, train, kmeans_sample_fraction
+    )
+    cells = imi_assign(corpus, cents_lo, cents_hi, id_col, vec_col)
+    cand = guarded_pair_join(cells, ["cell"], id_col)
+    return _verify_candidate_pairs(corpus, cand, threshold, id_col, vec_col)
 
 
 def semantic_dedup(
@@ -808,6 +1053,8 @@ def semantic_dedup(
     vec_col: str = "embedding",
     train: str = "kmeans",
     pairs: DataFrame | None = None,
+    kmeans_sample_fraction: float | None = None,
+    quantizer: str = "ivf",
 ) -> DataFrame:
     """End-to-end SemDeDup: cell-bucketed near-dup pairs -> connected
     components over the pair graph (chains collapse into ONE cluster) ->
@@ -838,13 +1085,30 @@ def semantic_dedup(
     guarantee that the frame was mined from this corpus at the intended
     threshold.  The id columns are validated against ``corpus[id_col]``'s
     type to catch the likeliest mix-up (a pair frame keyed on a different
-    id column)."""
+    id column).
+
+    ``quantizer``: ``"ivf"`` (flat coarse codebook — the default while
+    nlist fits its bounds) or ``"imi"`` (two-level product grid via
+    :func:`embedding_dup_pairs_imi` — the shape past the flat-codebook
+    bound; ``n_centroids`` is then the PER-HALF cell count, effective
+    cells its square)."""
     from tesseract_rs_spark.functions.dedup import dup_clusters
 
     if pairs is None:
-        pairs = embedding_dup_pairs_ivf(
-            corpus, threshold, n_centroids, id_col, vec_col, train
-        )
+        if quantizer == "imi":
+            pairs = embedding_dup_pairs_imi(
+                corpus, threshold, n_centroids, id_col, vec_col, train,
+                kmeans_sample_fraction=kmeans_sample_fraction,
+            )
+        elif quantizer == "ivf":
+            pairs = embedding_dup_pairs_ivf(
+                corpus, threshold, n_centroids, id_col, vec_col, train,
+                kmeans_sample_fraction=kmeans_sample_fraction,
+            )
+        else:
+            raise ValueError(
+                f"quantizer must be 'ivf' or 'imi', got {quantizer!r}"
+            )
     else:
         corpus_t = corpus.schema[id_col].dataType
         for c in ("id_a", "id_b"):

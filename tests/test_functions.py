@@ -1546,3 +1546,273 @@ def test_ivf_kmeans_distributed_empty_and_degenerate(spark):
     with pytest.warns(UserWarning, match="seeded 1 cells"):
         cents = ivf_centroids_kmeans_distributed(dup, 4, n_iters=2)
     assert len(cents) == 1
+
+def test_ivf_distributed_flat_codebook_bound(spark, monkeypatch):
+    """The distributed trainer is bounded by the flat-codebook budget
+    (the codebook is driver-resident and broadcast even though training
+    never collects a sample): past MAX_DISTRIBUTED_NLIST it RAISES —
+    silently degrading would OOM the driver at exactly the corpus scale
+    the feature exists for — and the auto-sizing path in
+    embedding_dup_pairs_ivf warns when it clamps there."""
+    from tesseract_rs_spark.functions import similarity
+    from tesseract_rs_spark.functions.similarity import (
+        MAX_DISTRIBUTED_NLIST,
+        embedding_dup_pairs_ivf,
+        ivf_centroids_kmeans_distributed,
+    )
+
+    tiny = spark.createDataFrame(
+        _distinct_unit_vectors(8), "vec_id long, embedding array<float>"
+    )
+    # the guard fires before any job runs, so a tiny corpus suffices
+    with pytest.raises(ValueError, match="flat-codebook budget"):
+        ivf_centroids_kmeans_distributed(tiny, MAX_DISTRIBUTED_NLIST + 1)
+    # auto-sizing clamps AT the bound with a warning (shrink both knobs
+    # so the clamp is reachable on a unit-test corpus; the code reads
+    # the module globals at call time)
+    monkeypatch.setattr(similarity, "MAX_DISTRIBUTED_NLIST", 4)
+    monkeypatch.setattr(similarity, "SEMDEDUP_CELL_TARGET", 4)
+    corpus = spark.createDataFrame(
+        _distinct_unit_vectors(32), "vec_id long, embedding array<float>"
+    )
+    with pytest.warns(UserWarning, match="clamped at 4"):
+        pairs = embedding_dup_pairs_ivf(
+            corpus, threshold=0.999, train="distributed"
+        )
+    # mining still ran at the clamped nlist, and every emitted pair
+    # passed the exact cosine check (IVF can miss cross-cell pairs but
+    # never invents one)
+    mined = {tuple(r) for r in pairs.collect()}
+    exact = {
+        tuple(r)
+        for r in similarity.embedding_dup_pairs_exact(
+            corpus, threshold=0.999
+        ).collect()
+    }
+    assert mined and mined <= exact
+
+
+def test_ivf_sample_fraction_threads_through_family(spark, emb):
+    """kmeans_sample_fraction reaches the distributed trainer from every
+    public entry point: full-recall identity still holds for ann_ivf_topk
+    (nprobe == nlist is exact for ANY codebook), and semantic_dedup's
+    survivor set matches the untrained-sample run."""
+    from tesseract_rs_spark.functions.similarity import (
+        ann_ivf_topk,
+        cosine_topk,
+        semantic_dedup,
+    )
+
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {tuple(r) for r in cosine_topk(emb, q, k=3).collect()}
+    approx = {
+        tuple(r)
+        for r in ann_ivf_topk(
+            emb, q, k=3, n_centroids=8, nprobe=8, train="distributed",
+            kmeans_sample_fraction=0.5,
+        ).collect()
+    }
+    assert approx == exact
+    base = emb.limit(20)
+    dup = base.filter(F.col("vec_id") == 0).withColumn(
+        "vec_id", F.lit(100000).cast("long")
+    )
+    corpus = base.unionByName(dup)
+    full = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            corpus, threshold=0.999, n_centroids=4, train="distributed"
+        ).collect()
+    }
+    gated = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            corpus, threshold=0.999, n_centroids=4, train="distributed",
+            kmeans_sample_fraction=0.9,
+        ).collect()
+    }
+    assert gated == full
+
+def _imi_vectors(n):
+    """n deterministic 4-d vectors varying in BOTH halves (the
+    _distinct_unit_vectors triples hold their last two coordinates
+    nearly constant, which degenerates the hi sub-codebook)."""
+    mods = (97, 89, 83, 79)
+    mults = (37, 41, 43, 47)
+    return [
+        (i, [float((i * mults[j]) % mods[j] + 1) for j in range(4)])
+        for i in range(n)
+    ]
+
+
+def test_imi_composite_cell_arithmetic(spark):
+    """The IMI composite cell is exactly the product of two independent
+    flat half-assignments: assign the sliced halves with ivf_assign
+    against the same sub-codebooks and the composite must equal
+    cell_lo * grid_w + cell_hi for every vector — and the assignment is
+    deterministic across partitionings."""
+    from tesseract_rs_spark.functions.similarity import (
+        imi_assign,
+        imi_codebooks,
+        ivf_assign,
+    )
+
+    corpus = spark.createDataFrame(
+        _imi_vectors(120), "vec_id long, embedding array<float>"
+    )
+    lo_c, hi_c = imi_codebooks(corpus, 3, train="distributed")
+    assert len(lo_c) == len(hi_c) == 3
+    assert all(len(v) == 2 for _, v in lo_c + hi_c)  # dim 4 -> halves of 2
+    grid_w = max(i for i, _ in hi_c) + 1
+    got = {
+        r["vec_id"]: r["cell"] for r in imi_assign(corpus, lo_c, hi_c).collect()
+    }
+    halves = corpus.select(
+        "vec_id",
+        F.slice("embedding", 1, 2).alias("lo"),
+        F.slice("embedding", 3, 2).alias("hi"),
+    )
+    la = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign(
+            halves.select("vec_id", F.col("lo").alias("embedding")), lo_c, 1
+        ).collect()
+    }
+    lb = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign(
+            halves.select("vec_id", F.col("hi").alias("embedding")), hi_c, 1
+        ).collect()
+    }
+    assert got == {i: la[i] * grid_w + lb[i] for i in la}
+    reparted = {
+        r["vec_id"]: r["cell"]
+        for r in imi_assign(corpus.repartition(7), lo_c, hi_c).collect()
+    }
+    assert reparted == got
+
+
+def test_imi_full_recall_and_subset(spark):
+    """n_cells_per_half=1 puts every vector in the single composite cell,
+    so the IMI miner must equal the exact all-pairs answer; at a finer
+    grid every emitted pair still passed the exact verify (IMI can miss
+    cross-cell pairs but never invents one), and exact duplicates always
+    share a cell."""
+    from tesseract_rs_spark.functions.similarity import (
+        embedding_dup_pairs_exact,
+        embedding_dup_pairs_imi,
+    )
+
+    base = spark.createDataFrame(
+        _imi_vectors(60), "vec_id long, embedding array<float>"
+    )
+    dup = base.filter(F.col("vec_id") == 3).withColumn(
+        "vec_id", F.lit(100000).cast("long")
+    )
+    corpus = base.unionByName(dup)
+    exact = {tuple(r) for r in embedding_dup_pairs_exact(corpus, 0.995).collect()}
+    full = {
+        tuple(r)
+        for r in embedding_dup_pairs_imi(
+            corpus, 0.995, n_cells_per_half=1, train="distributed"
+        ).collect()
+    }
+    assert full == exact
+    fine = {
+        tuple(r)
+        for r in embedding_dup_pairs_imi(
+            corpus, 0.995, n_cells_per_half=4, train="distributed"
+        ).collect()
+    }
+    assert fine <= exact
+    assert (3, 100000) in fine  # identical halves -> identical cell
+    # auto-sizing (one count job) mines a verified subset too
+    auto = {
+        tuple(r)
+        for r in embedding_dup_pairs_imi(
+            corpus, 0.995, train="distributed"
+        ).collect()
+    }
+    assert auto <= exact and (3, 100000) in auto
+
+
+def test_imi_grid_exceeds_codebook_rows(spark):
+    """The scale property that motivates IMI: occupied composite cells
+    exceed the TOTAL driver-resident centroid rows — a flat codebook of
+    the same driver footprint could never separate the corpus this
+    finely."""
+    from tesseract_rs_spark.functions.similarity import (
+        imi_assign,
+        imi_codebooks,
+    )
+
+    corpus = spark.createDataFrame(
+        _imi_vectors(512), "vec_id long, embedding array<float>"
+    )
+    lo_c, hi_c = imi_codebooks(corpus, 16, train="distributed")
+    rows_held = len(lo_c) + len(hi_c)
+    occupied = (
+        imi_assign(corpus, lo_c, hi_c).select("cell").distinct().count()
+    )
+    assert rows_held == 32
+    assert occupied > rows_held
+
+
+def test_imi_degenerate_inputs(spark):
+    """Empty corpus and sub-2-dim vectors raise with actionable
+    messages; a width-mismatched corpus fails fast in assignment;
+    semantic_dedup dispatches the quantizer= knob and rejects unknown
+    values."""
+    from tesseract_rs_spark.functions.similarity import (
+        imi_assign,
+        imi_codebooks,
+        semantic_dedup,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="non-empty"):
+        imi_codebooks(empty, 2)
+    skinny = spark.createDataFrame(
+        [(0, [1.0]), (1, [2.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match=">= 2 dimensions"):
+        imi_codebooks(skinny, 2)
+    ok = spark.createDataFrame(
+        _imi_vectors(30), "vec_id long, embedding array<float>"
+    )
+    lo_c, hi_c = imi_codebooks(ok, 2, train="distributed")
+    wide = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="codebook dim"):
+        imi_assign(wide, lo_c, hi_c).collect()
+    with pytest.raises(ValueError, match="quantizer"):
+        semantic_dedup(ok, quantizer="pq")
+
+
+def test_semantic_dedup_imi_matches_ivf_survivors(spark, emb):
+    """quantizer="imi" plugs into the end-to-end SemDeDup unchanged: at
+    full-recall configs (1 effective cell each) the survivor sets of the
+    two quantizers are identical."""
+    from tesseract_rs_spark.functions.similarity import semantic_dedup
+
+    base = emb.limit(20)
+    dup = base.filter(F.col("vec_id") == 0).withColumn(
+        "vec_id", F.lit(100000).cast("long")
+    )
+    corpus = base.unionByName(dup)
+    ivf = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            corpus, threshold=0.999, n_centroids=1, train="distributed"
+        ).collect()
+    }
+    imi = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            corpus, threshold=0.999, n_centroids=1, train="distributed",
+            quantizer="imi",
+        ).collect()
+    }
+    assert imi == ivf and 100000 not in imi
