@@ -406,19 +406,73 @@ def _q_corpus_curation_m(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-language sampling fractions for corpus_sample (downsample the
 # majority language, keep the rarest whole — the typical rebalance)
 SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.75, "fr": 0.75, "es": 0.75, "zh": 1.0}
+# token budgets for the 'budget' branch — 'es' deliberately absent
+# (explicit-only stratum contract); sized so 'en' gets cut mid-corpus
+# at sf0.01 while small strata may keep everything
+SAMPLE_BUDGETS = {"en": 2000, "de": 1200, "fr": 1200, "zh": 600}
+# cluster-quota branch: SQL-expressible cells (vec_id % cells), k reps
+QUOTA_CELLS = 16
+QUOTA_K = 5
 SAMPLE_SALT = "s0"
 PACK_BUDGET = 512
 
 
 def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified sampling: per-language md5-hash gates —
-    reproducible independent of partitioning/cluster size (Spark's
-    native sample() is not), a pure no-shuffle filter."""
-    from tesseract_rs_spark.functions.sampling import stratified_sample
+    """Deterministic sampling surface, three operators tagged by branch:
+    'frac' = per-language md5-hash-gated fractions (a pure no-shuffle
+    filter, reproducible independent of partitioning — Spark's native
+    sample() is not); 'budget' = per-language TOKEN budgets (the
+    pretraining-mix contract: documents in deterministic hash order
+    accumulate tokens until the stratum budget cuts, sharded prefix sum,
+    never a single-partition window — 'es' is deliberately absent from
+    the budget dict to pin the explicit-only stratum contract);
+    'cluster' = k hash-order representatives per cell (diversity-aware
+    cell-uniform selection, the SemDeDup data-mixing companion) over a
+    SQL-expressible cell id (vec_id % QUOTA_CELLS) so the oracle is
+    exact — the IVF/IMI-cell integration is the same code path with a
+    quantizer cell column, recall-gated in unit tests."""
+    from tesseract_rs_spark.functions.sampling import (
+        cluster_quota_sample,
+        stratified_sample,
+        stratified_token_budget,
+    )
+    from tesseract_rs_spark.functions.text import token_count
 
-    return stratified_sample(
-        _docs(spark, sf_dir), SAMPLE_FRACTIONS, salt=SAMPLE_SALT
-    ).select("doc_id", "lang")
+    docs = _docs(spark, sf_dir)
+    frac = stratified_sample(docs, SAMPLE_FRACTIONS, salt=SAMPLE_SALT).select(
+        F.lit("frac").alias("branch"),
+        "doc_id",
+        "lang",
+        F.lit(None).cast("long").alias("tokens"),
+        F.lit(None).cast("long").alias("pos"),
+        F.lit(None).cast("long").alias("cell"),
+    )
+    budget = stratified_token_budget(
+        docs.select("doc_id", "lang", token_count().alias("n_tokens")),
+        SAMPLE_BUDGETS,
+        salt=SAMPLE_SALT,
+    ).select(
+        F.lit("budget").alias("branch"),
+        "doc_id",
+        "lang",
+        "tokens",
+        F.col("tokens_before").alias("pos"),
+        F.lit(None).cast("long").alias("cell"),
+    )
+    emb = _emb(spark, sf_dir).withColumn(
+        "cell", F.pmod(F.col("vec_id"), F.lit(QUOTA_CELLS))
+    )
+    cluster = cluster_quota_sample(
+        emb, QUOTA_K, id_col="vec_id", salt=SAMPLE_SALT
+    ).select(
+        F.lit("cluster").alias("branch"),
+        F.col("vec_id").alias("doc_id"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("long").alias("tokens"),
+        F.col("sample_rank").cast("long").alias("pos"),
+        "cell",
+    )
+    return frac.unionByName(budget).unionByName(cluster)
 
 
 def _q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3711,7 +3765,58 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'stream' AS branch, * FROM ({o["corpus_curation"]})
         """,
-        "corpus_sample": o["corpus_sample"],
+        # three tagged sampling branches: hash-gated fractions (the
+        # per-part SQL), per-stratum token budgets (window prefix sum in
+        # hash order — the sharded Spark sum must equal it exactly), and
+        # k hash-order representatives per cell
+        "corpus_sample": f"""
+        SELECT 'frac' AS branch, doc_id, lang,
+               CAST(NULL AS BIGINT) AS tokens, CAST(NULL AS BIGINT) AS pos,
+               CAST(NULL AS BIGINT) AS cell
+        FROM ({o["corpus_sample"]})
+        UNION ALL
+        SELECT 'budget', doc_id, lang, tokens, pos, CAST(NULL AS BIGINT)
+        FROM (
+          WITH t AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+                   CAST(concat('0x', substr(
+                     md5('{SAMPLE_SALT}' ||
+                         CAST(CAST(doc_id AS BIGINT) AS VARCHAR)),
+                     1, 8)) AS BIGINT) AS gate
+            FROM documents
+            WHERE lang IN ({", ".join(f"'{l}'" for l in sorted(SAMPLE_BUDGETS))})
+          ),
+          scan AS (
+            SELECT doc_id, lang, tokens,
+                   CAST(COALESCE(SUM(tokens) OVER (
+                        PARTITION BY lang ORDER BY gate, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS pos
+            FROM t
+          )
+          SELECT doc_id, lang, tokens, pos FROM scan
+          WHERE pos < CASE lang
+            {" ".join(f"WHEN '{l}' THEN {b}" for l, b in sorted(SAMPLE_BUDGETS.items()))}
+            ELSE -1 END
+        )
+        UNION ALL
+        SELECT 'cluster', vec_id, CAST(NULL AS VARCHAR),
+               CAST(NULL AS BIGINT), rk, cell
+        FROM (
+          SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                 CAST(CAST(vec_id AS BIGINT) % {QUOTA_CELLS} AS BIGINT)
+                   AS cell,
+                 CAST(row_number() OVER (
+                   PARTITION BY CAST(vec_id AS BIGINT) % {QUOTA_CELLS}
+                   ORDER BY CAST(concat('0x', substr(
+                     md5('{SAMPLE_SALT}' ||
+                         CAST(CAST(vec_id AS BIGINT) AS VARCHAR)),
+                     1, 8)) AS BIGINT), CAST(vec_id AS BIGINT)
+                 ) AS BIGINT) AS rk
+          FROM embeddings
+        ) WHERE rk <= {QUOTA_K}
+        """,
         "token_packing": o["token_packing"],
         # --- multimodal ---
         "media_stats": f"""

@@ -153,3 +153,148 @@ def pack_stream(
     return packed.select(
         id_col, "tokens", "tokens_before", "bin_id", "bin_offset"
     )
+
+
+def stratified_token_budget(
+    docs: DataFrame,
+    budgets: dict,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    salt: str = "s0",
+    shards: int = 32,
+) -> DataFrame:
+    """Token-BUDGET stratified sampling — the pretraining-mix contract
+    stated the way mix specs are actually written ("30 B tokens of en,
+    5 B of de"), vs :func:`stratified_sample`'s fractions-of-documents.
+    Within each stratum, documents line up in deterministic hash order
+    (``sample_hash`` gate, id tie-break — a reshuffle-proof "random"
+    order) and accumulate token counts; a document is kept iff it STARTS
+    inside its stratum's budget (exclusive prefix sum < budget), so each
+    stratum's kept set overshoots by at most one document.  Strata
+    absent from ``budgets`` are dropped BEFORE any shuffle (same
+    explicit-only contract as ``stratified_sample``).
+
+    Scale shape: the naive form is a per-stratum global window — at
+    100 TB one language can be 60% of the corpus, so
+    ``Window.partitionBy(lang)`` puts most of the data on ONE task.
+    Instead the :func:`pack_stream` sharding trick runs per stratum:
+    rows split into ``shards`` contiguous GATE ranges (the gate is
+    uniform, so ranges balance), a (stratum × shards)-row aggregate
+    turns into exclusive per-(stratum, shard) bases on the driver, and
+    the running sum is a window over stratum × shards parallel
+    partitions, each bounded at ~stratum/shards rows.  One data shuffle,
+    output independent of ``shards``.
+
+    Returns (id, stratum, tokens, tokens_before) for kept rows —
+    ``tokens_before`` is the stratum-local exclusive prefix, so
+    downstream can see exactly where each budget cut fell."""
+    if not budgets:
+        raise ValueError("budgets must name at least one stratum")
+    for stratum, b in budgets.items():
+        if b <= 0:
+            raise ValueError(
+                f"budget for stratum {stratum!r} must be positive, got {b}"
+            )
+    width = -(-_HASH_SPACE // shards)  # ceil: gate range per shard
+    slim = (
+        docs.select(
+            F.col(id_col),
+            F.col(strat_col).alias("_strat"),
+            F.col(token_col).cast("long").alias("tokens"),
+        )
+        .filter(
+            F.col(id_col).isNotNull()
+            & F.col("tokens").isNotNull()
+            & F.col("_strat").isin(*budgets.keys())
+        )
+        .withColumn("_gate", sample_hash(id_col, salt))
+        .withColumn("_shard", (F.col("_gate") / width).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    totals = (
+        slim.groupBy("_strat", "_shard")
+        .agg(F.sum("tokens").alias("_total"))
+        .collect()
+    )
+    per_strat: dict = {}
+    for row in totals:
+        per_strat.setdefault(row["_strat"], []).append(
+            (row["_shard"], row["_total"])
+        )
+    bases = []
+    for stratum, shard_totals in per_strat.items():
+        base = 0
+        for shard, total in sorted(shard_totals):
+            bases.append((stratum, shard, base))
+            base += total
+    if not bases:
+        spark = docs.sparkSession
+        id_type = docs.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [],
+            f"{id_col} {id_type}, {strat_col} string, tokens long, "
+            "tokens_before long",
+        )
+    base_df = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            bases, "_strat string, _shard long, _base long"
+        )
+    )
+    w = (
+        Window.partitionBy("_strat", "_shard")
+        .orderBy(F.col("_gate").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cut = F.lit(-1)
+    for stratum, b in sorted(budgets.items()):
+        cut = F.when(F.col("_strat") == stratum, F.lit(int(b))).otherwise(cut)
+    return (
+        slim.join(base_df, ["_strat", "_shard"])
+        .withColumn(
+            "tokens_before",
+            F.col("_base") + F.sum("tokens").over(w) - F.col("tokens"),
+        )
+        .filter(F.col("tokens_before") < cut)
+        .select(
+            id_col,
+            F.col("_strat").alias(strat_col),
+            "tokens",
+            "tokens_before",
+        )
+    )
+
+
+def cluster_quota_sample(
+    df: DataFrame,
+    k: int,
+    cell_col: str = "cell",
+    id_col: str = "doc_id",
+    salt: str = "s0",
+) -> DataFrame:
+    """Diversity-aware subset selection: keep ``k`` deterministic
+    representatives per cluster cell — the data-mixing companion of
+    SemDeDup (cluster the embedding space with ``ivf_assign`` /
+    ``imi_assign``, then sample the CELLS uniformly instead of the rows,
+    so dense regions stop dominating the training mix; D4 / DataComp
+    shape, public).  Works on ANY cell column — a quantizer assignment,
+    a topic id, a host bucket.
+
+    Within each cell, rows order by the ``sample_hash`` gate (id
+    tie-break) and the first ``k`` survive — reshuffle-proof and
+    engine-portable like every sampler here.  Scale shape: one shuffle
+    keyed by the cell; per-task work is bounded by the largest cell, so
+    size the upstream quantizer for bounded cells (~256 at the SemDeDup
+    target) — the same discipline its candidate mining already needs.
+    Returns the input columns plus ``sample_rank`` (1-based hash-order
+    position, <= k)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = Window.partitionBy(cell_col).orderBy(
+        sample_hash(id_col, salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.filter(F.col(cell_col).isNotNull() & F.col(id_col).isNotNull())
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

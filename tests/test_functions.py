@@ -1816,3 +1816,104 @@ def test_semantic_dedup_imi_matches_ivf_survivors(spark, emb):
         ).collect()
     }
     assert imi == ivf and 100000 not in imi
+
+
+def _local_gate(i, salt="s0"):
+    import hashlib
+
+    return int(hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:8], 16)
+
+
+def test_stratified_token_budget_exact_and_shard_invariant(spark):
+    """Kept set == the naive local computation (per-stratum hash-order
+    exclusive prefix < budget), identical at shards=1 and shards=7 (the
+    sharded distributed prefix sum is an implementation detail), and
+    strata absent from the budget dict are dropped."""
+    from tesseract_rs_spark.functions.sampling import stratified_token_budget
+
+    rows = [
+        (i, ["en", "de", "fr"][i % 3], 10 + (i * 7) % 23)
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    budgets = {"en": 300, "de": 150}  # fr absent -> dropped
+
+    expected = {}
+    for lang in budgets:
+        ordered = sorted(
+            (r for r in rows if r[1] == lang),
+            key=lambda r: (_local_gate(r[0]), r[0]),
+        )
+        acc = 0
+        for i, lg, tok in ordered:
+            if acc < budgets[lang]:
+                expected[i] = (lg, tok, acc)
+            acc += tok
+
+    for shards in (1, 7):
+        got = {
+            r["doc_id"]: (r["lang"], r["tokens"], r["tokens_before"])
+            for r in stratified_token_budget(
+                df, budgets, shards=shards
+            ).collect()
+        }
+        assert got == expected
+    # every stratum actually got cut (the budgets bite), and overshoot
+    # is bounded: dropping any kept doc's tokens goes below budget
+    for lang in budgets:
+        kept_toks = sum(t for lg, t, _ in expected.values() if lg == lang)
+        all_toks = sum(r[2] for r in rows if r[1] == lang)
+        assert kept_toks < all_toks
+        assert max(
+            b for lg, t, b in expected.values() if lg == lang
+        ) < budgets[lang]
+
+
+def test_stratified_token_budget_guards(spark):
+    from tesseract_rs_spark.functions.sampling import stratified_token_budget
+
+    df = spark.createDataFrame(
+        [(1, "en", 5)], "doc_id long, lang string, n_tokens long"
+    )
+    with pytest.raises(ValueError, match="at least one stratum"):
+        stratified_token_budget(df, {})
+    with pytest.raises(ValueError, match="must be positive"):
+        stratified_token_budget(df, {"en": 0})
+    # no surviving strata -> empty frame with the contract schema
+    out = stratified_token_budget(df, {"zz": 10})
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "lang", "tokens", "tokens_before"]
+
+
+def test_cluster_quota_sample(spark):
+    """k deterministic hash-order representatives per cell; reshuffle-
+    proof; k<1 raises; null cells/ids excluded."""
+    from tesseract_rs_spark.functions.sampling import cluster_quota_sample
+
+    rows = [(i, i % 5) for i in range(100)] + [(None, 1), (200, None)]
+    df = spark.createDataFrame(rows, "doc_id long, cell long")
+    out = cluster_quota_sample(df, 3, id_col="doc_id").collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(
+            (r["sample_rank"], r["doc_id"])
+        )
+    assert set(by_cell) == set(range(5))
+    for cell, members in by_cell.items():
+        want = sorted(
+            (i for i, c in rows[:100] if c == cell),
+            key=lambda i: (_local_gate(i), i),
+        )[:3]
+        assert [d for _, d in sorted(members)] == want
+    # partitioning-independent
+    re_out = {
+        (r["cell"], r["sample_rank"], r["doc_id"])
+        for r in cluster_quota_sample(
+            df.repartition(13), 3, id_col="doc_id"
+        ).collect()
+    }
+    assert re_out == {
+        (c, rk, d) for c, ms in by_cell.items() for rk, d in ms
+    }
+    with pytest.raises(ValueError, match="k must be"):
+        cluster_quota_sample(df, 0, id_col="doc_id")
