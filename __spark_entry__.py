@@ -1679,19 +1679,26 @@ def _q_ann_topk_m(spark, sf_dir):
 
 
 def _q_ann_ivf_topk(spark, sf_dir):
-    """IVF coarse-quantizer ANN with the production-shaped codebook
-    (deterministic spherical k-means on a hash-gated sample) in the
-    full-recall regime (nprobe == n_centroids probes every cell), so the
-    cell-bucketed result equals the exact top-k and shares its SQL oracle
-    for ANY codebook; the approximate regime (nprobe < nlist,
+    """IVF coarse-quantizer ANN in the full-recall regime (nprobe ==
+    n_centroids probes every cell), so the cell-bucketed result equals
+    the exact top-k and shares its SQL oracle for ANY codebook — which
+    lets BOTH trainers run driver-checked as tagged branches: 'kmeans' =
+    deterministic spherical k-means on a hash-gated sample (the
+    production shape within the driver-Lloyd budget), 'distributed' =
+    full-corpus distributed Lloyd (no driver-side sample collect — the
+    past-the-budget shape).  The approximate regime (nprobe < nlist,
     recall-gated) is exercised in tests."""
     from tesseract_rs_spark.functions.similarity import ann_ivf_topk
 
     emb = _emb(spark, sf_dir)
-    return ann_ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=8, nprobe=8,
-        train="kmeans",
-    )
+    q = emb.filter(F.col("vec_id") < 10)
+
+    def branch(train):
+        return ann_ivf_topk(
+            emb, q, k=5, n_centroids=8, nprobe=8, train=train
+        ).select(F.lit(train).alias("trainer"), "query_id", "rank", "neighbor_id")
+
+    return branch("kmeans").unionByName(branch("distributed"))
 
 
 def _q_media_stats_m(spark, sf_dir):
@@ -3757,8 +3764,15 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'lsh', query_id, rank, neighbor_id FROM {sub("ann_lsh_topk")}
         """,
-        # full-recall IVF (nprobe = nlist) equals the exact top-k
-        "ann_ivf_topk": o["ann_cosine_topk"],
+        # full-recall IVF (nprobe = nlist) equals the exact top-k for
+        # ANY codebook — so both trainer branches share the one oracle
+        "ann_ivf_topk": f"""
+        SELECT 'kmeans' AS trainer, query_id, rank, neighbor_id
+        FROM ({o["ann_cosine_topk"]})
+        UNION ALL
+        SELECT 'distributed', query_id, rank, neighbor_id
+        FROM ({o["ann_cosine_topk"]})
+        """,
         # --- curation / sampling / packing ---
         "corpus_curation": f"""
         SELECT 'batch' AS branch, * FROM ({o["corpus_curation"]})
