@@ -1917,3 +1917,36 @@ def test_cluster_quota_sample(spark):
     }
     with pytest.raises(ValueError, match="k must be"):
         cluster_quota_sample(df, 0, id_col="doc_id")
+
+
+def test_cluster_quota_sample_on_quantizer_cells(spark):
+    """Integration with the IVF quantizer: cells from ivf_assign feed
+    cluster_quota_sample directly — every surviving cell keeps at most k
+    rows, survivors are a subset of the input, and the selection is
+    deterministic across partitionings (the claim the corpus_sample
+    driver docstring makes)."""
+    from tesseract_rs_spark.functions.sampling import cluster_quota_sample
+    from tesseract_rs_spark.functions.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    corpus = spark.createDataFrame(
+        _distinct_unit_vectors(64), "vec_id long, embedding array<float>"
+    )
+    cents = ivf_centroids(corpus, 8)
+    cells = ivf_assign(corpus, cents, 1)
+    out = cluster_quota_sample(cells, 2, id_col="vec_id").collect()
+    per_cell = {}
+    for r in out:
+        per_cell.setdefault(r["cell"], []).append(r["vec_id"])
+    assert per_cell and all(len(v) <= 2 for v in per_cell.values())
+    all_ids = {r["vec_id"] for r in cells.collect()}
+    assert {r["vec_id"] for r in out} <= all_ids
+    again = {
+        (r["cell"], r["sample_rank"], r["vec_id"])
+        for r in cluster_quota_sample(
+            cells.repartition(9), 2, id_col="vec_id"
+        ).collect()
+    }
+    assert again == {(r["cell"], r["sample_rank"], r["vec_id"]) for r in out}
