@@ -1087,16 +1087,13 @@ def _q_dedup_embedding_m(spark, sf_dir):
     return lsh.unionByName(ivf).unionByName(imi).unionByName(surv)
 
 
-def _q_media_image_stats(spark, sf_dir):
-    """REAL image decode end-to-end: each document rendered to a raster
-    page, encoded as a binary PGM (P5), decoded back by the real PGM
-    parser, and reduced to pixel statistics.  Width/height follow the
-    shared render geometry and n_ink_px is the glyph ink mass — both
-    closed-form from the source text (ink per glyph = 48 spine px + 56 px
-    per set bit of the charset code)."""
+def _media_pgm(spark, sf_dir):
+    """Each document rendered to a raster page and encoded as a binary
+    PGM (P5) — the shared image-media frame for the stats and resize
+    branches."""
     import pandas as pd
 
-    from tesseract_rs_spark.functions.multimodal import image_stats, pgm_encode
+    from tesseract_rs_spark.functions.multimodal import pgm_encode
     from tesseract_rs_spark.kernels.raster import decode_page, render_page
 
     docs = _docs(spark, sf_dir)
@@ -1113,10 +1110,21 @@ def _q_media_image_stats(spark, sf_dir):
                 {"media_id": pdf["doc_id"].astype("int64"), "payload": payloads}
             )
 
-    media = docs.select("doc_id", "text").mapInPandas(
+    return docs.select("doc_id", "text").mapInPandas(
         gen, "media_id long, payload binary"
     )
-    return image_stats(media).select(
+
+
+def _q_media_image_stats(spark, sf_dir):
+    """REAL image decode end-to-end: each document rendered to a raster
+    page, encoded as a binary PGM (P5), decoded back by the real PGM
+    parser, and reduced to pixel statistics.  Width/height follow the
+    shared render geometry and n_ink_px is the glyph ink mass — both
+    closed-form from the source text (ink per glyph = 48 spine px + 56 px
+    per set bit of the charset code)."""
+    from tesseract_rs_spark.functions.multimodal import image_stats
+
+    return image_stats(_media_pgm(spark, sf_dir)).select(
         F.col("media_id").alias("doc_id"), "status", "width", "height", "n_ink_px"
     )
 
@@ -1704,13 +1712,30 @@ def _q_ann_ivf_topk(spark, sf_dir):
 def _q_media_stats_m(spark, sf_dir):
     """All three real media decoders joined per doc: PGM image stats,
     WAV audio stats, VSEQ video stats (frame count; dims/ink equal the
-    image branch by construction)."""
+    image branch by construction) — plus the REAL resize operator
+    driver-checked end-to-end: 2x nearest upscale replicates every pixel
+    exactly 4x, so re-decoding the resized PGM must read doubled dims
+    and exactly quadrupled ink mass (rz_* columns; the resize ->
+    re-encode -> re-decode -> stats chain has a closed-form oracle)."""
+    from tesseract_rs_spark.functions.multimodal import (
+        image_stats,
+        resize_images,
+    )
+
     i = _q_media_image_stats(spark, sf_dir)
     a = _q_media_audio_stats(spark, sf_dir).select(
         "doc_id", "sample_rate", "n_samples", "sumsq", "peak", "zero_crossings"
     )
     v = _q_media_video_stats(spark, sf_dir).select("doc_id", "n_frames")
-    return i.join(a, "doc_id").join(v, "doc_id")
+    rz = image_stats(
+        resize_images(_media_pgm(spark, sf_dir), scale=2, method="nearest")
+    ).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("width").alias("rz_width"),
+        F.col("height").alias("rz_height"),
+        F.col("n_ink_px").alias("rz_ink"),
+    )
+    return i.join(a, "doc_id").join(v, "doc_id").join(rz, "doc_id")
 
 
 def _q_events_windows_m(spark, sf_dir):
@@ -3833,10 +3858,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_packing": o["token_packing"],
         # --- multimodal ---
+        # rz_*: the resize chain's closed form — 2x nearest upscale
+        # doubles each dim and quadruples the ink mass exactly
         "media_stats": f"""
         SELECT i.doc_id, i.status, i.width, i.height, i.n_ink_px,
                a.sample_rate, a.n_samples, a.sumsq, a.peak, a.zero_crossings,
-               v.n_frames
+               v.n_frames,
+               CAST(2 * i.width AS BIGINT) AS rz_width,
+               CAST(2 * i.height AS BIGINT) AS rz_height,
+               CAST(4 * i.n_ink_px AS BIGINT) AS rz_ink
         FROM {sub("media_image_stats")} i
         JOIN {sub("media_audio_stats")} a USING (doc_id)
         JOIN {sub("media_video_stats")} v USING (doc_id)

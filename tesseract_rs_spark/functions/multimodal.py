@@ -419,3 +419,106 @@ def sample_frames(media: DataFrame, every_k: int = 30) -> DataFrame:
     return v.select(
         "media_id", F.explode(idxs).alias("frame_idx")
     ).withColumn("frame_idx", F.col("frame_idx").cast("long"))
+
+
+def resize_gray(img: np.ndarray, out_w: int, out_h: int, method: str = "area") -> np.ndarray:
+    """REAL deterministic resample of a gray uint8 image — pure integer/
+    numpy, no image libraries.  ``nearest``: index-map sampling, any
+    target size, up or down.  ``area``: box-mean downscale (the
+    anti-aliased choice for thumbnailing OCR pages), requiring integer
+    scale factors — the restriction keeps the arithmetic exact
+    (floor-of-mean per box) instead of silently interpolating; raise,
+    don't guess, on non-integer factors."""
+    h, w = img.shape
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"target dims must be positive, got {out_w}x{out_h}")
+    if method == "nearest":
+        ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+        xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+        return img[np.ix_(ys, xs)]
+    if method == "area":
+        if h % out_h or w % out_w:
+            raise ValueError(
+                f"area resize needs integer factors: {w}x{h} -> "
+                f"{out_w}x{out_h} (use method='nearest' for arbitrary "
+                "targets)"
+            )
+        fy, fx = h // out_h, w // out_w
+        boxes = img.reshape(out_h, fy, out_w, fx).astype(np.uint32)
+        return (boxes.sum(axis=(1, 3)) // (fy * fx)).astype(np.uint8)
+    raise ValueError(f"method must be 'nearest' or 'area', got {method!r}")
+
+
+def resize_images(
+    media: DataFrame,
+    out_w: int | None = None,
+    out_h: int | None = None,
+    method: str = "area",
+    id_col: str = "media_id",
+    col: str = "payload",
+    scale: int | None = None,
+) -> DataFrame:
+    """(id, payload, width, height, status): decode each PGM/PPM image,
+    resample with :func:`resize_gray`, re-encode as binary PGM.  Target
+    is EITHER fixed dims ``(out_w, out_h)`` (thumbnail grids, model
+    input shapes) or a per-image integer ``scale`` factor (each image's
+    own dims times ``scale`` — e.g. 2× nearest upscale replicates every
+    pixel exactly scale² times).  Total function — undecodable payloads
+    and non-integer area factors become status rows
+    (``unsupported_codec`` / ``invalid_image_data`` / ``bad_geometry``),
+    never exceptions, so one corrupt image cannot kill a 100 TB job.
+    Map-only (no shuffle), Arrow-batched; output bytes per row are
+    out_w × out_h + header (fixed mode) or scale² × input."""
+    if method not in ("nearest", "area"):
+        raise ValueError(f"method must be 'nearest' or 'area', got {method!r}")
+    fixed = out_w is not None or out_h is not None
+    if fixed == (scale is not None):
+        raise ValueError(
+            "pass exactly one target: (out_w, out_h) or scale="
+        )
+    if fixed and (out_w is None or out_h is None or out_w <= 0 or out_h <= 0):
+        raise ValueError(f"target dims must be positive, got {out_w}x{out_h}")
+    if scale is not None and scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, status, ws, hs = [], [], [], []
+            for payload in pdf[col]:
+                img, st = decode_image(payload)
+                if img is None:
+                    payloads.append(None)
+                    status.append(st)
+                    ws.append(0)
+                    hs.append(0)
+                    continue
+                tw, th = (
+                    (out_w, out_h)
+                    if fixed
+                    else (img.shape[1] * scale, img.shape[0] * scale)
+                )
+                try:
+                    payloads.append(pgm_encode(resize_gray(img, tw, th, method)))
+                    status.append("ok")
+                    ws.append(tw)
+                    hs.append(th)
+                except ValueError:
+                    payloads.append(None)
+                    status.append("bad_geometry")
+                    ws.append(0)
+                    hs.append(0)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    col: payloads,
+                    "width": pd.array(ws, dtype="int64"),
+                    "height": pd.array(hs, dtype="int64"),
+                    "status": status,
+                }
+            )
+
+    return media.select(id_col, col).mapInPandas(
+        gen,
+        schema=f"{id_col} long, {col} binary, width long, height long, "
+        "status string",
+    )

@@ -235,6 +235,97 @@ class TestRealMediaDecode:
         assert decode_image(b"P5\n10 10\n255\nshort")[1] == "invalid_image_data"
 
 
+class TestResize:
+    """REAL image resize (nearest + exact box-mean area downscale) over
+    the PGM decode path — corrupt payloads and bad geometry become
+    status rows, never exceptions."""
+
+    def test_resize_gray_kernels(self):
+        import numpy as np
+
+        from tesseract_rs_spark.functions.multimodal import resize_gray
+
+        # area: 2x2 box means, floor arithmetic — exact
+        img = np.array(
+            [[0, 255, 10, 10], [255, 0, 10, 10], [8, 8, 100, 102], [8, 8, 104, 106]],
+            dtype=np.uint8,
+        )
+        out = resize_gray(img, 2, 2, method="area")
+        assert out.tolist() == [[127, 10], [8, 103]]
+        # constant image invariant under both kernels
+        const = np.full((12, 8), 77, dtype=np.uint8)
+        assert (resize_gray(const, 4, 3, "area") == 77).all()
+        assert (resize_gray(const, 5, 5, "nearest") == 77).all()
+        # nearest upscale replicates pixels
+        tiny = np.array([[1, 2], [3, 4]], dtype=np.uint8)
+        up = resize_gray(tiny, 4, 4, method="nearest")
+        assert up.tolist() == [
+            [1, 1, 2, 2], [1, 1, 2, 2], [3, 3, 4, 4], [3, 3, 4, 4],
+        ]
+        with pytest.raises(ValueError, match="integer factors"):
+            resize_gray(img, 3, 3, method="area")
+        with pytest.raises(ValueError, match="must be positive"):
+            resize_gray(img, 0, 2)
+
+    def test_resize_images_total_function(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from tesseract_rs_spark.functions.multimodal import (
+            decode_image,
+            pgm_encode,
+            resize_images,
+        )
+
+        good = pgm_encode(
+            np.arange(64, dtype=np.uint8).reshape(8, 8)
+        )
+        odd = pgm_encode(np.zeros((7, 5), dtype=np.uint8))  # non-integer factor
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "media_id": [0, 1, 2],
+                    "payload": [good, odd, b"JPEG-ish junk"],
+                }
+            )
+        )
+        rows = {
+            r["media_id"]: r
+            for r in resize_images(df, 4, 4, method="area").collect()
+        }
+        img, st = decode_image(rows[0]["payload"])
+        assert st == "ok" and img.shape == (4, 4)
+        # 2x2 box mean of the row-major ramp, computed independently
+        ramp = np.arange(64, dtype=np.uint32).reshape(8, 8)
+        want = ramp.reshape(4, 2, 4, 2).sum(axis=(1, 3)) // 4
+        assert (img == want.astype(np.uint8)).all()
+        assert rows[0]["status"] == "ok"
+        assert rows[0]["width"] == 4 and rows[0]["height"] == 4
+        assert rows[1]["status"] == "bad_geometry"
+        assert rows[1]["payload"] is None
+        assert rows[2]["status"] == "unsupported_codec"
+        # per-image scale mode: 2x nearest replicates each pixel 4x, so
+        # dims double per image and ink mass exactly quadruples
+        sc = {
+            r["media_id"]: r
+            for r in resize_images(df, scale=2, method="nearest").collect()
+        }
+        img2, st2 = decode_image(sc[0]["payload"])
+        assert st2 == "ok" and img2.shape == (16, 16)
+        assert (img2 == np.kron(np.arange(64, dtype=np.uint8).reshape(8, 8),
+                                np.ones((2, 2), dtype=np.uint8))).all()
+        assert sc[1]["status"] == "ok"  # odd dims are fine for nearest
+        assert (sc[1]["width"], sc[1]["height"]) == (10, 14)
+        with pytest.raises(ValueError, match="method must be"):
+            resize_images(df, 4, 4, method="bicubic")
+        with pytest.raises(ValueError, match="exactly one target"):
+            resize_images(df, 4, 4, scale=2)
+        with pytest.raises(ValueError, match="exactly one target"):
+            resize_images(df)
+        with pytest.raises(ValueError, match="scale must be"):
+            resize_images(df, scale=0)
+
+
 class TestStatefulStreaming:
     """applyInPandasWithState sessionization must converge to the batch
     answer across micro-batches (SURVEY §2.7 streaming surface)."""
