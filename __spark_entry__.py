@@ -1694,9 +1694,15 @@ def _q_ann_ivf_topk(spark, sf_dir):
     deterministic spherical k-means on a hash-gated sample (the
     production shape within the driver-Lloyd budget), 'distributed' =
     full-corpus distributed Lloyd (no driver-side sample collect — the
-    past-the-budget shape).  The approximate regime (nprobe < nlist,
-    recall-gated) is exercised in tests."""
-    from tesseract_rs_spark.functions.similarity import ann_ivf_topk
+    past-the-budget shape) — plus the 'imi' QUANTIZER shape
+    (product-grid cells; full probe = every grid cell, so the same
+    exactness argument holds).  The approximate regimes (nprobe < nlist
+    / nprobe_per_half < n_cells_per_half, recall-gated) are exercised
+    in tests."""
+    from tesseract_rs_spark.functions.similarity import (
+        ann_imi_topk,
+        ann_ivf_topk,
+    )
 
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 10)
@@ -1706,7 +1712,10 @@ def _q_ann_ivf_topk(spark, sf_dir):
             emb, q, k=5, n_centroids=8, nprobe=8, train=train
         ).select(F.lit(train).alias("trainer"), "query_id", "rank", "neighbor_id")
 
-    return branch("kmeans").unionByName(branch("distributed"))
+    imi = ann_imi_topk(
+        emb, q, k=5, n_cells_per_half=3, nprobe_per_half=3, train="kmeans"
+    ).select(F.lit("imi").alias("trainer"), "query_id", "rank", "neighbor_id")
+    return branch("kmeans").unionByName(branch("distributed")).unionByName(imi)
 
 
 def _q_media_stats_m(spark, sf_dir):
@@ -3796,6 +3805,9 @@ def oracle_sql() -> dict[str, str]:
         FROM ({o["ann_cosine_topk"]})
         UNION ALL
         SELECT 'distributed', query_id, rank, neighbor_id
+        FROM ({o["ann_cosine_topk"]})
+        UNION ALL
+        SELECT 'imi', query_id, rank, neighbor_id
         FROM ({o["ann_cosine_topk"]})
         """,
         # --- curation / sampling / packing ---

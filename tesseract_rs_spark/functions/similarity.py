@@ -924,6 +924,7 @@ def imi_assign(
     cents_hi,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe_per_half: int = 1,
 ) -> DataFrame:
     """(id, cell) over the IMI product grid: each vector's two halves
     assign independently to their nearest sub-centroid by cosine (ties
@@ -933,12 +934,21 @@ def imi_assign(
     unchanged.  One numpy GEMM per half per Arrow batch against the two
     broadcast sub-codebooks — map-only, no shuffle, constant bytes per
     vector, exactly the flat :func:`ivf_assign` shape with half-width
-    matrices."""
+    matrices.
+
+    ``nprobe_per_half > 1`` (the search side): the ``nprobe_per_half``
+    nearest sub-cells per half cross-combine into
+    ``nprobe_per_half**2`` composite probe cells per vector — probing
+    the grid neighborhood a near-neighbor could have landed in (at
+    ``nprobe_per_half == n_cells_per_half`` every composite cell is
+    probed → exact).  Corpus-side assignment stays at 1."""
     if not cents_lo or not cents_hi:
         raise ValueError(
             "empty IMI sub-codebook: train both halves on a non-empty "
             "corpus (imi_codebooks)"
         )
+    if nprobe_per_half < 1:
+        raise ValueError(f"nprobe_per_half must be >= 1, got {nprobe_per_half}")
 
     def _prep(cents):
         mat = np.stack([c for _, c in cents])
@@ -951,14 +961,16 @@ def imi_assign(
     half = lo_mat.shape[1]
     dim = half + hi_mat.shape[1]
     grid_w = int(hi_ids.max()) + 1
+    npl = min(nprobe_per_half, len(lo_ids))
+    nph = min(nprobe_per_half, len(hi_ids))
     id_type = df.schema[id_col].dataType.simpleString()
 
-    def _nearest(mat, cmat, cn, cids):
+    def _nearest(mat, cmat, cn, cids, np_):
         vn = np.linalg.norm(mat, axis=1)
         vn[vn == 0.0] = 1.0
         cos = (mat @ cmat.T) / vn[:, None] / cn[None, :]
-        # argmax with index tiebreak: stable argsort on the negation
-        return cids[np.argsort(-cos, axis=1, kind="stable")[:, 0]]
+        # top-np_ with index tiebreak: stable argsort on the negation
+        return cids[np.argsort(-cos, axis=1, kind="stable")[:, :np_]]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -974,14 +986,92 @@ def imi_assign(
                     "the IMI sub-codebooks were trained on a different "
                     "embedding width"
                 )
-            ca = _nearest(mat[:, :half], lo_mat, lo_n, lo_ids)
-            cb = _nearest(mat[:, half:], hi_mat, hi_n, hi_ids)
+            ca = _nearest(mat[:, :half], lo_mat, lo_n, lo_ids, npl)
+            cb = _nearest(mat[:, half:], hi_mat, hi_n, hi_ids, nph)
+            # cross-combine the per-half probes: (n, npl, 1) x (n, 1, nph)
+            cells = (
+                ca[:, :, None] * grid_w + cb[:, None, :]
+            ).reshape(len(pdf), -1)
             yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy(), "cell": ca * grid_w + cb}
+                {
+                    id_col: np.repeat(
+                        pdf[id_col].to_numpy(), cells.shape[1]
+                    ),
+                    "cell": cells.reshape(-1),
+                }
             )
 
     return df.select(id_col, vec_col).mapInPandas(
         gen, schema=f"{id_col} {id_type}, cell long"
+    )
+
+
+def ann_imi_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells_per_half: int = 4,
+    nprobe_per_half: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train: str = "distributed",
+    kmeans_sample_fraction: float | None = None,
+) -> DataFrame:
+    """IMI approximate top-k — :func:`ann_ivf_topk` over the product
+    grid, for the regime where the wanted cell count exceeds any flat
+    codebook.  Corpus vectors land in exactly one composite cell;
+    queries probe their ``nprobe_per_half**2`` nearest grid cells; the
+    within-cell candidates score by exact cosine and window-rank to
+    top-k — identical tail to the flat path, so at
+    ``nprobe_per_half == n_cells_per_half`` (every cell probed) the
+    result equals the exact top-k for ANY codebook.  Returns
+    (query_id, rank, neighbor_id)."""
+    cents_lo, cents_hi = imi_codebooks(
+        corpus, n_cells_per_half, id_col, vec_col, train,
+        kmeans_sample_fraction,
+    )
+    c_cells = imi_assign(
+        corpus, cents_lo, cents_hi, id_col, vec_col
+    ).withColumnRenamed(id_col, "neighbor_id")
+    q_cells = imi_assign(
+        queries, cents_lo, cents_hi, id_col, vec_col,
+        nprobe_per_half=nprobe_per_half,
+    ).withColumnRenamed(id_col, "query_id")
+    # no distinct needed: one composite cell per corpus vector, and a
+    # query's probed cells are distinct grid points (same argument as
+    # the flat path)
+    cand = (
+        c_cells.join(broadcast(q_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
+    )
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(broadcast(q), "query_id")
+        .withColumn(
+            "_cos",
+            _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id"
+        )
     )
 
 

@@ -1950,3 +1950,77 @@ def test_cluster_quota_sample_on_quantizer_cells(spark):
         ).collect()
     }
     assert again == {(r["cell"], r["sample_rank"], r["vec_id"]) for r in out}
+
+
+def test_imi_multiprobe_and_ann_topk(spark, emb):
+    """Multi-probe imi_assign emits exactly the cross product of each
+    half's top-n sub-cells; ann_imi_topk at full probe (nprobe_per_half
+    == n_cells_per_half) equals the exact cosine top-k for any codebook;
+    a partial probe returns only (query, neighbor) pairs the full-probe
+    run also ranks (IMI can miss candidates but never invents one)."""
+    from tesseract_rs_spark.functions.similarity import (
+        ann_imi_topk,
+        cosine_topk,
+        imi_assign,
+        imi_codebooks,
+        ivf_assign,
+    )
+
+    corpus = spark.createDataFrame(
+        _imi_vectors(120), "vec_id long, embedding array<float>"
+    )
+    lo_c, hi_c = imi_codebooks(corpus, 3, train="distributed")
+    grid_w = max(i for i, _ in hi_c) + 1
+    probed = {}
+    for r in imi_assign(corpus, lo_c, hi_c, nprobe_per_half=2).collect():
+        probed.setdefault(r["vec_id"], set()).add(r["cell"])
+    halves = corpus.select(
+        "vec_id",
+        F.slice("embedding", 1, 2).alias("lo"),
+        F.slice("embedding", 3, 2).alias("hi"),
+    )
+
+    def top2(col, cents):
+        out = {}
+        for r in ivf_assign(
+            halves.select("vec_id", F.col(col).alias("embedding")), cents, 2
+        ).collect():
+            out.setdefault(r["vec_id"], []).append(r["cell"])
+        return out
+
+    la, lb = top2("lo", lo_c), top2("hi", hi_c)
+    for vid, cells in probed.items():
+        want = {a * grid_w + b for a in la[vid] for b in lb[vid]}
+        assert cells == want and len(cells) == 4
+    with pytest.raises(ValueError, match="nprobe_per_half must be"):
+        imi_assign(corpus, lo_c, hi_c, nprobe_per_half=0)
+
+    queries = emb.filter(F.col("vec_id") < 6)
+    exact = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ann_imi_topk(
+            emb, queries, k=5, n_cells_per_half=3, nprobe_per_half=3,
+            train="kmeans",
+        ).collect()
+    }
+    assert full == exact
+    partial_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_imi_topk(
+            emb, queries, k=5, n_cells_per_half=3, nprobe_per_half=1,
+            train="kmeans",
+        ).collect()
+    }
+    # partial probe mines a subset of the full probe's candidate space
+    full_cand = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_imi_topk(
+            emb, queries, k=10**6, n_cells_per_half=3, nprobe_per_half=3,
+            train="kmeans",
+        ).collect()
+    }
+    assert partial_pairs <= full_cand
