@@ -15,9 +15,10 @@ pass writes straight to ``--output``.  ``--curate`` appends the one-pass
 curation stage (quality + language filter + exact keep-first dedup) to
 the extracted text before writing; ``--fuzzy-dedup T`` extends it with
 near-duplicate removal (MinHash-LSH pairs at Jaccard >= T -> connected
-components -> minimum-url survivor per component) — the full
-extract -> curate -> fuzzy-dedup pretraining-corpus pipeline as one
-command.
+components -> minimum-url survivor per component); ``--token-budget
+en=500000,de=100000`` cuts the deduped survivors to per-language token
+budgets in deterministic hash order — the full extract -> curate ->
+fuzzy-dedup -> budget-mix pretraining-corpus pipeline as one command.
 """
 
 from __future__ import annotations
@@ -61,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "connected components over the pair graph, keep "
                         "the minimum-url survivor per component "
                         "(requires --curate)")
+    p.add_argument("--token-budget", default=None, metavar="LANG=N[,LANG=N]",
+                   help="after curation (and fuzzy dedup, if any), keep "
+                        "documents per predicted language only until that "
+                        "language's token budget is spent — deterministic "
+                        "hash-order cut (the pretraining-mix contract); "
+                        "languages not named are DROPPED; requires --curate")
     p.add_argument("--min-quality", type=int, default=55)
     p.add_argument("--keep-langs", default="en",
                    help="comma-separated language codes curation keeps")
@@ -73,8 +80,46 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def parse_token_budgets(spec: str) -> dict:
+    """'en=500000,de=100000' -> {'en': 500000, 'de': 100000}; raises
+    ValueError on malformed entries or non-positive budgets (fail fast —
+    a silently-dropped stratum ships a corpus the user believes is
+    budgeted)."""
+    budgets = {}
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        lang, eq, val = part.partition("=")
+        lang = lang.strip()
+        if not eq or not lang:
+            raise ValueError(f"malformed --token-budget entry {part!r} "
+                             "(expected LANG=N)")
+        budgets[lang] = int(val)  # ValueError on junk
+        if budgets[lang] <= 0:
+            raise ValueError(f"budget for {lang!r} must be positive, "
+                             f"got {budgets[lang]}")
+    if not budgets:
+        raise ValueError("--token-budget named no languages")
+    return budgets
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    token_budgets = None
+    if args.token_budget is not None:
+        if not args.curate:
+            print(
+                "error: --token-budget requires --curate (it cuts on the "
+                "curation stage's n_tokens/lang_pred columns)",
+                file=sys.stderr,
+            )
+            return 2
+        try:
+            token_budgets = parse_token_budgets(args.token_budget)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
     if args.fuzzy_dedup is not None and not 0.0 < args.fuzzy_dedup <= 1.0:
         # fail fast: Jaccard lives in (0, 1] — an out-of-range threshold
         # silently degrades into a no-op (T>1: zero pairs, near-dups
@@ -156,7 +201,7 @@ def main(argv=None) -> int:
             ),
         )
         if args.fuzzy_dedup is None:
-            return curated
+            return maybe_budget(curated)
         # materialize the (small) curated survivor set once: the pair
         # mining below scans it several times (signatures, shingle table
         # twice, sizes, join-back), and each un-materialized scan would
@@ -192,7 +237,29 @@ def main(argv=None) -> int:
             .filter("doc_id != cluster_id")
             .select(F.col("doc_id").alias("url"))
         )
-        return curated.join(losers, "url", "left_anti")
+        return maybe_budget(curated.join(losers, "url", "left_anti"))
+
+    def maybe_budget(curated):
+        """--token-budget: per-language token-budget cut over the curated
+        survivors (after fuzzy dedup if any — dedup first, THEN sample,
+        or duplicates eat the budget).  stratified_token_budget walks
+        each language in deterministic hash order and keeps documents
+        until the budget is spent; the kept ids semi-join back so full
+        rows survive with one key shuffle."""
+        if token_budgets is None:
+            return curated
+        from tesseract_rs_spark.functions.sampling import (
+            stratified_token_budget,
+        )
+
+        kept = stratified_token_budget(
+            curated,
+            token_budgets,
+            strat_col="lang_pred",
+            id_col="url",
+            token_col="n_tokens",
+        ).select("url")
+        return curated.join(kept, "url", "left_semi")
 
     pages = spark.read.parquet(args.input)
     if args.block_hosts:

@@ -283,3 +283,87 @@ def test_cli_fuzzy_dedup_checkpoint_modes(tmp_path, spark):
     urls = lambda p: {r["url"] for r in spark.read.parquet(p).collect()}
     assert urls(out_rel) == urls(out_local)
     assert len(urls(out_rel)) == 1  # near-dup collapsed in both modes
+
+
+def test_cli_token_budget_stage(tmp_path, spark):
+    """--token-budget after --curate: survivors per language follow the
+    deterministic hash-order cut EXACTLY (library twin on the same
+    curated frame); malformed specs and missing --curate refuse before
+    a session exists."""
+    sys.path.insert(0, REPO)
+    import importlib
+
+    import pyspark.sql.functions as F
+
+    from tesseract_rs_spark.sources.pages import pages_from_documents
+
+    extract_job = importlib.import_module("jobs.extract_job")
+    # 12 distinct decent-length docs so several survive curation
+    words = ["alpha", "brook", "cedar", "delta", "ember", "frost",
+             "grove", "haven", "inlet", "juno", "kelp", "lumen"]
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                " ".join(
+                    f"the {words[(i + j) % 12]} is of the {words[(i + 5 * j) % 12]}"
+                    for j in range(12)
+                ),
+                "en",
+            )
+            for i in range(12)
+        ],
+        "doc_id long, text string, lang string",
+    )
+    pages_path = str(tmp_path / "pages_budget.parquet")
+    pages_from_documents(docs).drop("doc_id").write.parquet(pages_path)
+    out = str(tmp_path / "out_budget")
+    rc = extract_job.main(
+        [
+            "--input", pages_path,
+            "--output", out,
+            "--output-format", "text",
+            "--curate", "--min-quality", "0", "--keep-langs", "en",
+            "--token-budget", "en=150",
+            "--master", "4",
+        ]
+    )
+    assert rc == 0
+    res = spark.read.parquet(out)
+    kept = {r["url"] for r in res.select("url").collect()}
+    # library twin: same curation, same budget, same hash order
+    from tesseract_rs_spark.functions.cleaning import curate, flatten_extracted
+    from tesseract_rs_spark.functions.sampling import stratified_token_budget
+    from tesseract_rs_spark.operators.extract import extract_text
+    from tesseract_rs_spark.config import ExtractConfig
+
+    pages = spark.read.parquet(pages_path)
+    curated = curate(
+        flatten_extracted(extract_text(pages, ExtractConfig())),
+        id_col="url", min_quality=0, keep_langs=("en",),
+    )
+    want = {
+        r["url"]
+        for r in stratified_token_budget(
+            curated, {"en": 150}, strat_col="lang_pred", id_col="url",
+            token_col="n_tokens",
+        ).collect()
+    }
+    assert kept == want
+    # the budget actually bit: strictly fewer than the curated survivors
+    assert 0 < len(kept) < curated.count()
+    # refusals (before any session work)
+    assert extract_job.main(
+        ["--input", pages_path, "--output", out,
+         "--token-budget", "en=150", "--master", "2"]
+    ) == 2
+    assert extract_job.main(
+        ["--input", pages_path, "--output", out, "--curate",
+         "--output-format", "text",
+         "--token-budget", "en=0", "--master", "2"]
+    ) == 2
+    assert extract_job.main(
+        ["--input", pages_path, "--output", out, "--curate",
+         "--output-format", "text",
+         "--token-budget", "bogus", "--master", "2"]
+    ) == 2
