@@ -1731,13 +1731,20 @@ def _q_media_stats_m(spark, sf_dir):
         resize_images,
     )
 
-    i = _q_media_image_stats(spark, sf_dir)
+    # render + PGM-encode ONCE and feed both image branches — without
+    # the pin the plan holds two independent _media_pgm subtrees and the
+    # heaviest media work runs twice (review r6)
+    media = _media_pgm(spark, sf_dir).localCheckpoint()
+    i = image_stats(media).select(
+        F.col("media_id").alias("doc_id"), "status", "width", "height",
+        "n_ink_px",
+    )
     a = _q_media_audio_stats(spark, sf_dir).select(
         "doc_id", "sample_rate", "n_samples", "sumsq", "peak", "zero_crossings"
     )
     v = _q_media_video_stats(spark, sf_dir).select("doc_id", "n_frames")
     rz = image_stats(
-        resize_images(_media_pgm(spark, sf_dir), scale=2, method="nearest")
+        resize_images(media, scale=2, method="nearest")
     ).select(
         F.col("media_id").alias("doc_id"),
         F.col("width").alias("rz_width"),

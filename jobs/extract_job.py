@@ -95,6 +95,11 @@ def parse_token_budgets(spec: str) -> dict:
         if not eq or not lang:
             raise ValueError(f"malformed --token-budget entry {part!r} "
                              "(expected LANG=N)")
+        if lang in budgets:
+            # same failure class as a malformed entry: a typo like
+            # 'en=5e5,en=200' (meant 'es') silently cuts en to 200 and
+            # drops es entirely (review r6)
+            raise ValueError(f"duplicate --token-budget language {lang!r}")
         budgets[lang] = int(val)  # ValueError on junk
         if budgets[lang] <= 0:
             raise ValueError(f"budget for {lang!r} must be positive, "

@@ -73,8 +73,14 @@ def main():
 
     spark = get_spark("imi-probe")
     corpus = make_corpus(spark, n, dim, group_size).localCheckpoint()
-    g = n // group_size
-    expected = g * (group_size * (group_size - 1) // 2)
+    # count the trailing partial group too (review r6: with n not a
+    # multiple of group_size the old g = n // group_size dropped its
+    # pairs from the denominator, inflating recall)
+    full, rem = divmod(n, group_size)
+    g = full + (1 if rem else 0)
+    expected = full * (group_size * (group_size - 1) // 2) + (
+        rem * (rem - 1) // 2
+    )
     nlist = max(4, n // 256)
     per_half = max(2, math.isqrt(nlist - 1) + 1)  # grid ~= nlist cells
 

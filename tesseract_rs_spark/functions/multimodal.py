@@ -480,6 +480,15 @@ def resize_images(
         raise ValueError(f"target dims must be positive, got {out_w}x{out_h}")
     if scale is not None and scale < 1:
         raise ValueError(f"scale must be >= 1, got {scale}")
+    if scale is not None and scale > 1 and method == "area":
+        # statically impossible: area is a box-mean DOWNSCALE kernel and
+        # scale-mode targets h*scale > h, so every row would degrade to
+        # a bad_geometry status — refuse up front instead (review r6)
+        raise ValueError(
+            "area resize is a downscale kernel; scale mode upscales — "
+            "use method='nearest' with scale=, or fixed (out_w, out_h) "
+            "for area downscaling"
+        )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -241,9 +241,15 @@ def stratified_token_budget(
             bases, "_strat string, _shard long, _base long"
         )
     )
+    # tokens tie-break mirrors pack_stream: duplicate ids share a gate,
+    # so without it their relative order (and a budget-boundary cut)
+    # would be partition-dependent (review r6); ids should be unique
+    # upstream (dedup first) for a meaningful budget order regardless
     w = (
         Window.partitionBy("_strat", "_shard")
-        .orderBy(F.col("_gate").asc(), F.col(id_col).asc())
+        .orderBy(
+            F.col("_gate").asc(), F.col(id_col).asc(), F.col("tokens").asc()
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cut = F.lit(-1)

@@ -646,8 +646,17 @@ def _train_codebook(
     """Shared ``train=`` dispatch for the IVF family (ann_ivf_topk /
     embedding_dup_pairs_ivf): 'ids' | 'kmeans' | 'distributed'.
     ``kmeans_sample_fraction`` reaches the distributed trainer's
-    hash-gated subset training (it has no meaning for the other modes,
-    which sample by row count)."""
+    hash-gated subset training; it has no meaning for the other modes
+    (which sample by row count), so passing it with them RAISES — a
+    silently-ignored knob convinces the user subset training took
+    effect (review r6)."""
+    if kmeans_sample_fraction is not None and train != "distributed":
+        raise ValueError(
+            f"kmeans_sample_fraction only applies to train='distributed' "
+            f"(hash-gated subset training); train={train!r} samples by "
+            "row count — use kmeans_sample_size via ivf_centroids_kmeans "
+            "directly, or drop the fraction"
+        )
     if train == "kmeans":
         return ivf_centroids_kmeans(
             corpus, n_centroids, sample_size=kmeans_sample_size(n_centroids),
@@ -715,6 +724,58 @@ def ivf_assign(
     )
 
 
+def _ann_score_topk(
+    c_cells: DataFrame,
+    q_cells: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared tail of the quantized ANN family (flat IVF / IMI product
+    grid): candidates from the (corpus-cell, probed-query-cell)
+    equi-join, exact-cosine scoring, window rank to top-k.  No distinct
+    on the candidates: each corpus vector lives in exactly ONE cell and
+    a query's probed cells are distinct, so a (query, neighbor) pair can
+    only arise once — a distinct would add a corpus-sized exchange for
+    nothing (review r4).  ``c_cells``/``q_cells`` are (neighbor_id|
+    query_id, cell) frames; returns (query_id, rank, neighbor_id)."""
+    cand = (
+        c_cells.join(broadcast(q_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
+    )
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(broadcast(q), "query_id")
+        .withColumn(
+            "_cos",
+            _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id"
+        )
+    )
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -758,37 +819,7 @@ def ann_ivf_topk(
     q_cells = ivf_assign(queries, cents, nprobe, id_col, vec_col).withColumnRenamed(
         id_col, "query_id"
     )
-    # no distinct: each corpus vector lives in exactly ONE cell
-    # (nprobe=1 on the corpus side) and a query's probed cells are
-    # distinct, so a (query, neighbor) pair can only arise once — a
-    # distinct here would add a corpus-sized exchange for nothing
-    # (review r4)
-    cand = (
-        c_cells.join(broadcast(q_cells), "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        _norm(F.col(vec_col)).alias("_cn"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        _norm(F.col(vec_col)).alias("_qn"),
-    )
-    scored = (
-        cand.join(c, "neighbor_id")
-        .join(broadcast(q), "query_id")
-        .withColumn("_cos", _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
-    )
+    return _ann_score_topk(c_cells, q_cells, corpus, queries, k, id_col, vec_col)
 
 
 def embedding_dup_pairs_ivf(
@@ -1037,42 +1068,7 @@ def ann_imi_topk(
         queries, cents_lo, cents_hi, id_col, vec_col,
         nprobe_per_half=nprobe_per_half,
     ).withColumnRenamed(id_col, "query_id")
-    # no distinct needed: one composite cell per corpus vector, and a
-    # query's probed cells are distinct grid points (same argument as
-    # the flat path)
-    cand = (
-        c_cells.join(broadcast(q_cells), "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        _norm(F.col(vec_col)).alias("_cn"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        _norm(F.col(vec_col)).alias("_qn"),
-    )
-    scored = (
-        cand.join(c, "neighbor_id")
-        .join(broadcast(q), "query_id")
-        .withColumn(
-            "_cos",
-            _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("_cos"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id"
-        )
-    )
+    return _ann_score_topk(c_cells, q_cells, corpus, queries, k, id_col, vec_col)
 
 
 def embedding_dup_pairs_imi(

@@ -324,6 +324,10 @@ class TestResize:
             resize_images(df)
         with pytest.raises(ValueError, match="scale must be"):
             resize_images(df, scale=0)
+        # area + upscale is statically impossible (box-mean downscales):
+        # refuse at call time, never a silent all-bad_geometry run
+        with pytest.raises(ValueError, match="downscale kernel"):
+            resize_images(df, scale=2, method="area")
 
 
 class TestStatefulStreaming:

@@ -367,3 +367,9 @@ def test_cli_token_budget_stage(tmp_path, spark):
          "--output-format", "text",
          "--token-budget", "bogus", "--master", "2"]
     ) == 2
+    # a duplicated language is the same silent-misbudget failure class
+    assert extract_job.main(
+        ["--input", pages_path, "--output", out, "--curate",
+         "--output-format", "text",
+         "--token-budget", "en=100,en=5", "--master", "2"]
+    ) == 2

@@ -1632,6 +1632,13 @@ def test_ivf_sample_fraction_threads_through_family(spark, emb):
         ).collect()
     }
     assert gated == full
+    # the fraction is a distributed-trainer knob: passing it with the
+    # sampled or id trainers raises instead of silently no-opping
+    with pytest.raises(ValueError, match="only applies to"):
+        semantic_dedup(
+            corpus, threshold=0.999, n_centroids=4, train="kmeans",
+            kmeans_sample_fraction=0.5,
+        )
 
 def _imi_vectors(n):
     """n deterministic 4-d vectors varying in BOTH halves (the
