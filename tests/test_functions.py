@@ -2031,3 +2031,32 @@ def test_imi_multiprobe_and_ann_topk(spark, emb):
         ).collect()
     }
     assert partial_pairs <= full_cand
+
+
+def test_stratified_token_budget_plan_no_global_window(spark):
+    """Scale-shape pin: the running sum must be a window over
+    (_strat, _shard) — many bounded partitions — never a per-stratum or
+    global window (one language can be most of a 100 TB corpus), and
+    the per-shard base table joins as a broadcast."""
+    from tesseract_rs_spark.functions.sampling import stratified_token_budget
+
+    df = spark.createDataFrame(
+        [(i, ["en", "de"][i % 2], 10) for i in range(200)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    out = stratified_token_budget(df, {"en": 500, "de": 500}, shards=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_shard" in plan.split("Window")[1], plan  # partition spec
+    # the window's partition expressions include BOTH keys
+    win_seg = plan.split("Window")[1][:400]
+    assert "_strat" in win_seg and "_shard" in win_seg, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # every Window operator in the plan is partitioned (an empty
+    # partition spec is the single-task shape this operator exists to
+    # avoid): each 'windowspecdefinition(' lists its partition exprs
+    # before the ORDER BY clause
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "_shard" in m.group(1), plan
+    out.count()
