@@ -149,3 +149,53 @@ def test_media_header_truncated_magics(tail, magic):
     assert isinstance(status, str) and status
     w2, h2, f2, s2 = media_header(magic + tail)
     assert (w2, h2, f2, s2) == (w, h, frames, status)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=0),
+)
+def test_resize_gray_nearest_total(h, w, oh, ow, seed):
+    """nearest resize: any (input, target) dims — output shape is exactly
+    the target, every output value exists in the input, deterministic."""
+    import numpy as np
+
+    from tesseract_rs_spark.functions.multimodal import resize_gray
+
+    img = np.random.RandomState(seed % 2**31).randint(
+        0, 256, size=(h, w)
+    ).astype(np.uint8)
+    out = resize_gray(img, ow, oh, method="nearest")
+    assert out.shape == (oh, ow)
+    assert set(np.unique(out)) <= set(np.unique(img))
+    assert (resize_gray(img, ow, oh, method="nearest") == out).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=0),
+)
+def test_resize_gray_area_mean_bounds(oh, ow, fy, fx, seed):
+    """area resize at any integer factor: output is the floor box mean,
+    so every output pixel lies within [min, max] of its source box —
+    and globally within the input's range."""
+    import numpy as np
+
+    from tesseract_rs_spark.functions.multimodal import resize_gray
+
+    img = np.random.RandomState(seed % 2**31).randint(
+        0, 256, size=(oh * fy, ow * fx)
+    ).astype(np.uint8)
+    out = resize_gray(img, ow, oh, method="area")
+    assert out.shape == (oh, ow)
+    boxes = img.reshape(oh, fy, ow, fx)
+    assert (out >= boxes.min(axis=(1, 3))).all()
+    assert (out <= boxes.max(axis=(1, 3))).all()
