@@ -60,30 +60,52 @@ def extract_text_batch(
     return pd.DataFrame(out)
 
 
-def extract_words_batch(
-    pdf: pd.DataFrame, cfg: ExtractConfig, id_cols: Sequence[str]
-) -> pd.DataFrame:
-    """Extract one batch -> exploded word-level rows (ResultIterator analog,
-    /root/reference/src/result_iterator.rs:41-71).  Vectorized explode: the
-    kernel returns columnar arrays per doc, id columns are ``np.repeat``
-    over per-doc counts, and each output column is ONE ``np.concatenate`` —
-    no itertuples, no per-word appends."""
-    per_doc = [word_columns(extract_doc(h, cfg)) for h in pdf["html"].to_numpy()]
-    counts = np.fromiter((len(p[0]) for p in per_doc), dtype=np.int64, count=len(per_doc))
-    out: dict = {c: np.repeat(pdf[c].to_numpy(), counts) for c in id_cols}
+def extract_words_arrow_batch(batch, cfg: ExtractConfig, n_ids: int):
+    """Extract one Arrow batch -> exploded word-level rows (ResultIterator
+    analog, /root/reference/src/result_iterator.rs:41-71), Arrow-native
+    (r7, guide §4.2): the
+    exploded word table is built as pyarrow arrays directly — id columns
+    are one ``pc.take`` gather over the UNTOUCHED input Arrow arrays (no
+    pandas object round-trip for 54 words/doc), numeric columns one
+    ``np.concatenate`` each, and only the word strings themselves pass
+    through a Python list (they are born as Python ``str`` in the
+    kernel).  Returns the output column arrays (schema order) or None
+    for an all-empty batch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    htmls = batch.column(n_ids).to_pylist()
+    per_doc = [word_columns(extract_doc(h, cfg)) for h in htmls]
+    counts = np.fromiter(
+        (len(p[0]) for p in per_doc), dtype=np.int64, count=len(per_doc)
+    )
+    total = int(counts.sum())
+    if total == 0:
+        return None
+    idx = pa.array(np.repeat(np.arange(len(per_doc), dtype=np.int64), counts))
+    arrays = [pc.take(batch.column(i), idx) for i in range(n_ids)]
     words: list = []
     for p in per_doc:
         words.extend(p[0])
-    names = ("block_id", "para_id", "line_id", "word_id", "conf",
-             "span_start", "span_end")
-    for i, name in enumerate(names, start=1):
-        out[name] = np.concatenate([p[i] for p in per_doc]) if per_doc else []
-    out["word"] = words
-    order = list(id_cols) + [
-        "block_id", "para_id", "line_id", "word_id", "word", "conf",
-        "span_start", "span_end",
+    num = {
+        name: np.concatenate([p[i] for p in per_doc])
+        for i, name in enumerate(
+            ("block_id", "para_id", "line_id", "word_id", "conf",
+             "span_start", "span_end"),
+            start=1,
+        )
+    }
+    arrays += [
+        pa.array(num["block_id"], type=pa.int64()),
+        pa.array(num["para_id"], type=pa.int64()),
+        pa.array(num["line_id"], type=pa.int64()),
+        pa.array(num["word_id"], type=pa.int64()),
+        pa.array(words, type=pa.string()),
+        pa.array(num["conf"], type=pa.float64()),
+        pa.array(num["span_start"], type=pa.int64()),
+        pa.array(num["span_end"], type=pa.int64()),
     ]
-    return pd.DataFrame(out)[order]
+    return arrays
 
 
 def extract_text(
@@ -126,10 +148,19 @@ def extract_words(
     cfg = cfg or ExtractConfig()
     schema = _id_schema(pages, id_cols) + ", " + WORD_RESULT_FIELDS
     id_cols = tuple(id_cols)
+    out_names = list(id_cols) + [
+        "block_id", "para_id", "line_id", "word_id", "word", "conf",
+        "span_start", "span_end",
+    ]
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf):
-                yield extract_words_batch(pdf, cfg, id_cols)
+    def gen(batches):
+        import pyarrow as pa
 
-    return pages.select(*id_cols, "html").mapInPandas(gen, schema=schema)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            arrays = extract_words_arrow_batch(batch, cfg, len(id_cols))
+            if arrays is not None:
+                yield pa.RecordBatch.from_arrays(arrays, names=out_names)
+
+    return pages.select(*id_cols, "html").mapInArrow(gen, schema=schema)
