@@ -435,6 +435,26 @@ def _word_is_uniform(box) -> bool:
     )
 
 
+def _uniform_flags(boxes: list) -> np.ndarray:
+    """Vectorized :func:`_word_is_uniform` over a whole page's word boxes
+    (r7, guide §1.2 per-task work): the per-word form paid four tiny numpy
+    reductions PER WORD (~0.4 ms/page of pure call overhead at ~55
+    words/page); here the glyph stats concatenate once and per-word
+    min/max run as three integer ``reduceat`` passes.  Integer reductions
+    are order-free, so the flags are exactly ``_word_is_uniform``'s."""
+    counts = np.fromiter(
+        (len(b[4]) for b in boxes), dtype=np.int64, count=len(boxes)
+    )
+    allg = np.concatenate([b[4] for b in boxes]) if len(boxes) > 1 else boxes[0][4]
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    tops = allg[:, 1]
+    tmax = np.maximum.reduceat(tops, starts)
+    tmin = np.minimum.reduceat(tops, starts)
+    hmax = np.maximum.reduceat(allg[:, 3] - tops, starts)
+    return (tmax - tmin <= 2) & (hmax <= GLYPH_H + 2)
+
+
 def _glyph_cells_from_stats(binary: np.ndarray, glyphs_sorted) -> np.ndarray:
     """(n_glyphs, GLYPH_H*GLYPH_W) int32 cells extracted at each
     component's OWN bounding box (super/subscript offsets preserved);
@@ -569,11 +589,18 @@ def _decode_layout(
     # edge are masked to zero, which reproduces _word_cells' zero-filled
     # buffer semantics exactly.  Offset/oversized glyphs keep the
     # per-component path.
+    all_boxes = [box for _pl in layout for box in _pl[2]]
+    if not all_boxes:
+        return []
+    unif = _uniform_flags(all_boxes)
     meta, uni, other = [], [], []
     total = 0
+    wi = 0
     for para_id, line_id, boxes in layout:
         for word_id, box in enumerate(boxes):
-            if _word_is_uniform(box):
+            is_uniform = bool(unif[wi])
+            wi += 1
+            if is_uniform:
                 l, t, r = int(box[0]), int(box[1]), int(box[2])
                 n = max(1, int(round((r - l + 2) / ADVANCE)))
                 uni.append((total, t, l, n, r))
@@ -766,16 +793,23 @@ def estimate_skew_deg(
     # bin supports).  Replaces the round-1 per-angle Python loop.
     angles = np.arange(-max_deg, max_deg + 1e-9, step_deg)
     rads = np.deg2rad(angles)
-    proj = np.rint(
-        np.cos(rads)[:, None] * ysf[None, :] - np.sin(rads)[:, None] * xsf[None, :]
-    ).astype(np.int64)
-    proj -= proj.min(axis=1, keepdims=True)
-    stride = int(proj.max()) + 1
-    keys = np.arange(len(angles), dtype=np.int64)[:, None] * stride + proj
-    counts = np.bincount(keys.ravel(), minlength=len(angles) * stride).reshape(
-        len(angles), stride
-    )
-    energy = (counts.astype(np.float64) ** 2).sum(axis=1)
+    # in-place ops: one (A, N) temporary instead of three, and rint lands
+    # in the same buffer; values are elementwise-identical to the old
+    # three-temporary broadcast chain (r7, guide §1.2 per-task work)
+    proj_f = np.cos(rads)[:, None] * ysf[None, :]
+    proj_f -= np.sin(rads)[:, None] * xsf[None, :]
+    np.rint(proj_f, out=proj_f)
+    proj = proj_f.astype(np.int64)
+    # per-angle bincount instead of one composite-key bincount over a
+    # (A*stride)-bin table: skips building the (A, N) key matrix, and the
+    # profile energy sum(c^2) is offset-invariant so each row subtracts
+    # only its own min.  Counts' squared sums are < N^2 < 2^53, exact in
+    # both int64 and the old float64 path — energies are bit-identical.
+    energy = np.empty(len(angles), dtype=np.float64)
+    for i in range(len(angles)):
+        row = proj[i]
+        c = np.bincount(row - row.min())
+        energy[i] = float((c * c).sum())
     zero_idx = int(np.argmin(np.abs(angles)))
     best_idx = int(np.argmax(energy))  # first max = lowest candidate angle
     # require a clear win over "no skew" (margin idiom mirrors
@@ -866,8 +900,10 @@ def detect_os(binary: np.ndarray, margin: float = _ORIENT_MARGIN) -> tuple:
     candidate must beat the default's decode score by at least this much
     — scores live in [0, 100], so a margin above 100 pins the decision
     to the pair default (0 upright / 90 sideways)."""
-    rows = binary.sum(axis=1).astype(np.float64)
-    cols = binary.sum(axis=0).astype(np.float64)
+    # count_nonzero's boolean popcount path is ~2x the bool-sum upcast
+    # chain; values (ink per row/col) are the same integers
+    rows = np.count_nonzero(binary, axis=1).astype(np.float64)
+    cols = np.count_nonzero(binary, axis=0).astype(np.float64)
     sideways = cols.var() > 2.0 * rows.var()
     # the candidates' row profiles are reversals of profiles already
     # computed: rot90 k=-1 has row profile = cols, k=+1 reversed cols,
@@ -1112,10 +1148,37 @@ def extract_raster_doc(
         )
     words = []
     lines_text: dict = {}
-    for para_id, line_id, word_id, box, text, conf, wlang in decoded:
-        if not text:
-            continue
-        baseline_y = fit_baseline(box[4])
+    # Vectorized flat-bottom fast path for the per-word baseline fit (r7):
+    # when every glyph bottom in a word is equal — the overwhelming case on
+    # upright pages — fit_baseline's both branches return exactly that
+    # bottom (n==1/equal-x returns round(mean of equal ys) = y; the
+    # regression branch has dy == 0 for every point, so num == 0.0 exactly
+    # and the result is round(ym) = y).  Flatness is three integer
+    # reduceat passes for the whole page; only non-flat words pay the
+    # per-word Python fit.
+    textful = [d for d in decoded if d[4]]
+    flat = baseline_flat = None
+    if textful:
+        counts = np.fromiter(
+            (len(d[3][4]) for d in textful), dtype=np.int64, count=len(textful)
+        )
+        allg = (
+            np.concatenate([d[3][4] for d in textful])
+            if len(textful) > 1
+            else textful[0][3][4]
+        )
+        starts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        bots = allg[:, 3]
+        bmax = np.maximum.reduceat(bots, starts)
+        flat = bmax == np.minimum.reduceat(bots, starts)
+        baseline_flat = bmax
+    for wi, (para_id, line_id, word_id, box, text, conf, wlang) in enumerate(
+        textful
+    ):
+        baseline_y = (
+            int(baseline_flat[wi]) if flat[wi] else fit_baseline(box[4])
+        )
         words.append(
             (
                 0,
