@@ -52,18 +52,23 @@ _TOKEN_RE = re.compile(
       <!--.*?(?:-->|$)                                   # comment
     | <!(?:[^>]*)>                                       # doctype / CDATA-ish
     | <(?P<raw>script|style|noscript|svg|template)\b[^>]*?(?:/>|>.*?(?:</(?P=raw)\s*>|$))
-    | <(?P<close>/?)(?P<tag>[a-zA-Z][a-zA-Z0-9:-]*)
-        (?P<attrs>(?:"[^"]*"|'[^']*'|[^>"'])*)
+    | <(?P<tag>/?[a-zA-Z][a-zA-Z0-9:-]*)
+        (?:"[^"]*"|'[^']*'|[^>"'])*
       >
     """,
     re.DOTALL | re.IGNORECASE | re.VERBOSE,
 )
 
 # Split form of the tokenizer: the whole match wrapped in ONE capturing
-# group so ``re.split`` returns [text, whole, raw, close, tag, attrs] *
-# n_tokens + [tail_text] in a single C call — no per-token Match objects
-# (the round-2 per-token hot-loop ceiling, VERDICT r2 ask #2).  Offsets
-# reconstruct from cumulative len(text) + len(whole).
+# group so ``re.split`` returns [text, whole, raw, tag] * n_tokens +
+# [tail_text] in a single C call — no per-token Match objects (the
+# round-2 per-token hot-loop ceiling, VERDICT r2 ask #2).  Offsets
+# reconstruct from cumulative len(text) + len(whole).  The close slash
+# is part of the tag group and the attrs are NOT captured (r7): re.split
+# allocates one string per capture group per token, so dropping the
+# close/attrs groups removes ~180 allocations per document — attrs are
+# recovered with one slice of the whole token, and only for the ~1-in-5
+# tokens (opening block tags) that consult them.
 _SPLIT_RE = re.compile(
     "(" + _TOKEN_RE.pattern + ")", re.DOTALL | re.IGNORECASE | re.VERBOSE
 )
@@ -127,9 +132,10 @@ STATUS_TIMEOUT = "timeout"
 # cooperative deadline check cadence (tokens between clock reads)
 _DEADLINE_STRIDE = 2048
 
-# tag string (exact case) -> (lower, is_block, is_void, is_hard,
-# is_content, is_br, is_a): one dict probe replaces 4+ set-membership
-# checks and a .lower() per token.  Bounded so adversarial pages with
+# tag string (exact case, leading '/' for close tags) -> (lower_name,
+# is_block, is_void, is_hard, is_content, is_br, is_a, closing): one
+# dict probe replaces 4+ set-membership checks, a .lower() and the
+# close-slash compare per token.  Bounded so adversarial pages with
 # unbounded distinct tag names can't grow worker memory.
 _TAG_INFO: dict = {}
 _TAG_INFO_MAX = 4096
@@ -137,6 +143,9 @@ _TAG_INFO_MAX = 4096
 
 def _tag_info(tag: str) -> tuple:
     t = tag.lower()
+    closing = t.startswith("/")
+    if closing:
+        t = t[1:]
     info = (
         t,
         t in _BLOCK_TAGS,
@@ -145,6 +154,7 @@ def _tag_info(tag: str) -> tuple:
         t in _CONTENT_TAGS,
         t == "br",
         t == "a",
+        closing,
     )
     if len(_TAG_INFO) < _TAG_INFO_MAX:
         _TAG_INFO[tag] = info
@@ -265,28 +275,31 @@ def _segment(doc: str, cfg: ExtractConfig, deadline: float | None = None) -> lis
             cur = None
 
     parts = _SPLIT_RE.split(doc)
-    texts = parts[0::6]
-    tags = parts[4::6]
+    texts = parts[0::4]
+    tags = parts[3::4]
     # C-level passes resolve every tag's dispatch tuple (None for
     # comments/doctypes and not-yet-cached tags — the loop backfills)
     # and every part length (offsets reconstruct by accumulation)
     infos = map(_TAG_INFO.get, tags)
     tlens = map(len, texts)
-    wlens = map(len, parts[1::6])
+    wlens = map(len, parts[1::4])
     n_tokens = 0
+    timed = deadline is not None  # hoisted: the common case pays no
+    # counter arithmetic per token (page_timeout_ms defaults to None)
+    has_nul = "\x00" in doc  # ONE scan per doc instead of one per token
     # zip stops at the token count; parts[-1] is the tail text
-    for text, tlen, wlen, close, tag, attrs, info in zip(
-        texts, tlens, wlens, parts[3::6], tags, parts[5::6], infos
+    for text, whole, tlen, wlen, tag, info in zip(
+        texts, parts[1::4], tlens, wlens, tags, infos
     ):
-        n_tokens += 1
-        if deadline is not None and n_tokens % _DEADLINE_STRIDE == 0:
-            if _time.monotonic() > deadline:
+        if timed:
+            n_tokens += 1
+            if n_tokens % _DEADLINE_STRIDE == 0 and _time.monotonic() > deadline:
                 raise PageTimeout
         if text:
             if not text.isspace():
                 if cur is None:
                     cur = Block(tag=cur_tag, src_start=pos, src_end=pos)
-                if "\x00" in text:
+                if has_nul and "\x00" in text:
                     text = text.replace("\x00", " ")
                 cur.parts.append(text)
                 cur.total_chars += tlen
@@ -302,7 +315,7 @@ def _segment(doc: str, cfg: ExtractConfig, deadline: float | None = None) -> lis
             continue  # comment / doctype / raw-text element
         if info is None:
             info = _tag_info(tag)
-        closing = close == "/"
+        closing = info[7]
         if info[5] and not closing:  # <br>
             if cur is None:
                 cur = Block(tag=cur_tag, src_start=pos, src_end=pos)
@@ -316,7 +329,7 @@ def _segment(doc: str, cfg: ExtractConfig, deadline: float | None = None) -> lis
                 d_a += 1
             continue
         if plain and info[1]:  # block tag
-            tag = info[0]
+            tag_name = info[0]
             if cur is not None:
                 flush(start)
             if info[2]:  # void
@@ -325,6 +338,9 @@ def _segment(doc: str, cfg: ExtractConfig, deadline: float | None = None) -> lis
                 hard = info[3]
                 content = info[4]
                 neg = pos_ = False
+                # attrs recovered by slicing the whole token: it is
+                # '<' + tag + attrs + '>' by construction for this branch
+                attrs = whole[1 + len(tag) : -1]
                 if attrs and ("class" in attrs or "id" in attrs or "Id" in attrs or "ID" in attrs or "Class" in attrs or "CLASS" in attrs):
                     for am in _CLASS_ID_RE.finditer(attrs):
                         val = am.group(2) or am.group(3) or am.group(4) or ""
@@ -332,16 +348,16 @@ def _segment(doc: str, cfg: ExtractConfig, deadline: float | None = None) -> lis
                             neg = True
                         elif _POSITIVE_CLASS_RE.search(val):
                             pos_ = True
-                tag_stack.append((tag, hard, content, neg, pos_))
+                tag_stack.append((tag_name, hard, content, neg, pos_))
                 d_hard += hard
                 d_content += content
                 d_neg += neg
                 d_pos += pos_
-                cur_tag = tag
+                cur_tag = tag_name
             else:
                 # pop to matching open tag (forgiving of misnesting)
                 for i in range(len(tag_stack) - 1, -1, -1):
-                    if tag_stack[i][0] == tag:
+                    if tag_stack[i][0] == tag_name:
                         for j in range(len(tag_stack) - 1, i - 1, -1):
                             _, h, c, n_, p_ = tag_stack.pop(j)
                             d_hard -= h
