@@ -385,21 +385,36 @@ def _q_corpus_curation_m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = tempfile.mkdtemp(prefix="tesseract_rs_spark_stream_")
     inp, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
-    pages.drop("doc_id").write.mode("overwrite").parquet(inp)
-    q = stream_curate(spark, inp, out, ckpt, min_quality=55, keep_langs=("en",))
-    q.awaitTermination(600)
-    stream = (
-        spark.read.parquet(out)
-        .select(
-            (
-                F.element_at(F.split("url", "/"), -1).cast("long")
-                % 1_000_000
-            ).alias("doc_id"),
-            "lang_pred", "quality", "n_tokens", "fingerprint",
+    try:
+        pages.drop("doc_id").write.mode("overwrite").parquet(inp)
+        q = stream_curate(
+            spark, inp, out, ckpt, min_quality=55, keep_langs=("en",)
         )
-        .distinct()
-        .withColumn("branch", F.lit("stream"))
-    )
+        if not q.awaitTermination(600):
+            # a hung stream must fail loudly here — falling through would
+            # read a partial sink and fail the oracle with a confusing
+            # diff (ADVICE r6)
+            q.stop()
+            raise RuntimeError("stream_curate did not finish within 600 s")
+        stream = (
+            spark.read.parquet(out)
+            .select(
+                (
+                    F.element_at(F.split("url", "/"), -1).cast("long")
+                    % 1_000_000
+                ).alias("doc_id"),
+                "lang_pred", "quality", "n_tokens", "fingerprint",
+            )
+            .distinct()
+            .withColumn("branch", F.lit("stream"))
+            # pin the tiny survivor set so the temp sink can be removed
+            # before the caller ever executes the returned plan
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
     return batch.unionByName(stream)
 
 

@@ -114,8 +114,18 @@ def dup_clusters(
     edges = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
-    edges = edges.localCheckpoint(eager=True)
-    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    # non-eager: round 1's action materializes it (one fewer job)
+    edges = edges.localCheckpoint(eager=False)
+    # seed with the FIRST propagation instead of the identity labeling:
+    # label_0 = min(self, min neighbor) comes out of the same groupBy that
+    # the old identity seeding paid for its distinct(), and near-clique
+    # components (the LSH-pair common case) then converge in ONE loop
+    # round instead of two (r7, guide §2.4 — one fewer join round trip)
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("_nbr"))
+        .select("u", F.least(F.col("u"), F.col("_nbr")).alias("label"))
+    )
     for _ in range(max_rounds):
         prop = (
             edges.join(

@@ -526,8 +526,12 @@ def resize_images(
                 }
             )
 
+    # id keeps its INPUT type like imi_assign derives it — a hardcoded
+    # long would cast string media ids to BIGINT and break at runtime
+    # (ADVICE r6; same latent-bug class as the r5 minhash/lsh fix)
+    id_type = media.schema[id_col].dataType.simpleString()
     return media.select(id_col, col).mapInPandas(
         gen,
-        schema=f"{id_col} long, {col} binary, width long, height long, "
+        schema=f"{id_col} {id_type}, {col} binary, width long, height long, "
         "status string",
     )

@@ -228,17 +228,21 @@ def stratified_token_budget(
         for shard, total in sorted(shard_totals):
             bases.append((stratum, shard, base))
             base += total
+    strat_type = docs.schema[strat_col].dataType.simpleString()
     if not bases:
         spark = docs.sparkSession
         id_type = docs.schema[id_col].dataType.simpleString()
+        # strat type derived like id's: a hardcoded string here made an
+        # empty corpus with a non-string stratum column diverge from the
+        # non-empty path's schema (ADVICE r6)
         return spark.createDataFrame(
             [],
-            f"{id_col} {id_type}, {strat_col} string, tokens long, "
+            f"{id_col} {id_type}, {strat_col} {strat_type}, tokens long, "
             "tokens_before long",
         )
     base_df = F.broadcast(
         docs.sparkSession.createDataFrame(
-            bases, "_strat string, _shard long, _base long"
+            bases, f"_strat {strat_type}, _shard long, _base long"
         )
     )
     # tokens tie-break mirrors pack_stream: duplicate ids share a gate,

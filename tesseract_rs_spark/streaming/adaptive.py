@@ -72,6 +72,13 @@ def stream_adaptive_ocr(
         from tesseract_rs_spark.operators.ocr import raster_batch_results
 
         (engine,) = key
+        # per-key registration name: all engine groups of one query used
+        # to share the single ``name`` slot, which was only correct
+        # because applyInPandasWithState fully drains one group's
+        # generator before the next runs in that worker — interleaving
+        # would have decoded one engine's pages with another's atlas
+        # (ADVICE r6)
+        reg_name = f"{name}:{engine}"
         acc: dict = pickle.loads(bytes(state.get[0])) if state.exists else {}
         # learn-then-decode needs two passes over the trigger's rows, so
         # the micro-batch materializes (pages live in the trigger anyway;
@@ -83,8 +90,8 @@ def stream_adaptive_ocr(
                     accumulate_page_glyphs(acc, payload, truth)
         atlas = atlas_from_acc(acc)
         if atlas:
-            register_atlas(name, atlas)  # overwrites this worker's prior
-            langs = (*cfg.langs, name)
+            register_atlas(reg_name, atlas)  # overwrites this worker's prior
+            langs = (*cfg.langs, reg_name)
         else:
             langs = cfg.langs
         for pdf in chunks:
