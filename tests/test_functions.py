@@ -2060,3 +2060,74 @@ def test_stratified_token_budget_plan_no_global_window(spark):
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "_shard" in m.group(1), plan
     out.count()
+
+
+def test_dup_clusters_empty_pairs(spark):
+    """Empty pair input converges in round 1 with zero changes — the r7
+    flag-sum convergence check must read SUM(flag) over an empty frame
+    as 0, not NULL (which would loop to the round cap and raise)."""
+    from tesseract_rs_spark.functions.dedup import dup_clusters
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dup_clusters(pairs).count() == 0
+
+
+def test_simhash_arrow_edges(spark):
+    """r7 mapInArrow port edges: zero-shingle docs (shorter than n
+    words) hash to 0, string ids pass through the Arrow boundary
+    untouched, and values are independent of the docs' batch order."""
+    from tesseract_rs_spark.functions.dedup import simhash
+
+    docs = spark.createDataFrame(
+        [
+            ("u1", "too short"),
+            ("u2", ""),
+            ("u3", "one two three four five six seven"),
+            ("u4", "one two three four five six seven"),
+        ],
+        "url string, text string",
+    )
+    out = {r["url"]: r["simhash"] for r in simhash(docs, id_col="url").collect()}
+    assert out["u1"] == 0 and out["u2"] == 0
+    assert out["u3"] == out["u4"] != 0
+    rev = {
+        r["url"]: r["simhash"]
+        for r in simhash(
+            docs.orderBy(F.col("url").desc()).repartition(3), id_col="url"
+        ).collect()
+    }
+    assert rev == out
+
+
+def test_stratified_token_budget_empty_nonstring_stratum(spark):
+    """r7 ADVICE fix: the empty-input early return derives the stratum
+    column type from the input schema (a long stratum must not come
+    back as string and break downstream unions with the non-empty
+    path's schema)."""
+    from tesseract_rs_spark.functions.sampling import stratified_token_budget
+
+    df = spark.createDataFrame([], "doc_id long, lang bigint, n_tokens long")
+    out = stratified_token_budget(df, {1: 100}, strat_col="lang")
+    assert out.count() == 0
+    assert dict(out.dtypes)["lang"] == "bigint"
+    nonempty = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 10)], "doc_id long, lang bigint, n_tokens long"
+    )
+    got = stratified_token_budget(nonempty, {1: 100}, strat_col="lang")
+    assert dict(got.dtypes)["lang"] == "bigint"
+    assert out.unionByName(got).count() == 2  # schemas actually union
+
+
+def test_resize_images_string_id(spark):
+    """r7 ADVICE fix: resize_images keeps a string id column instead of
+    silently casting it to long in the declared schema."""
+    from tesseract_rs_spark.functions.multimodal import pgm_encode, resize_images
+    import numpy as np
+
+    img = pgm_encode(np.arange(16, dtype=np.uint8).reshape(4, 4))
+    media = spark.createDataFrame(
+        [("m-1", bytearray(img))], "media_id string, payload binary"
+    )
+    out = resize_images(media, out_w=2, out_h=2).collect()
+    assert out[0]["media_id"] == "m-1"
+    assert out[0]["status"] == "ok"

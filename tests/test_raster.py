@@ -248,3 +248,59 @@ class TestMultilang:
         joint = extract_raster_doc(page, langs=("eng", "tur"))
         assert joint.mean_conf == 100
         assert eng_only.mean_conf <= 90
+
+
+def test_uniform_flags_matches_per_word_rule():
+    """r7 vectorization pin: the whole-page integer-reduceat uniformity
+    flags must equal _word_is_uniform box by box, including offset
+    (super/subscript) and oversized (drop-cap) glyph mixes."""
+    from tesseract_rs_spark.kernels.raster import (
+        GLYPH_H,
+        _uniform_flags,
+        _word_is_uniform,
+    )
+
+    rng = np.random.RandomState(7)
+    boxes = []
+    for i in range(60):
+        n = rng.randint(1, 9)
+        l = rng.randint(0, 500)
+        t = rng.randint(0, 300)
+        glyphs = []
+        for k in range(n):
+            dt = rng.choice([0, 0, 0, 1, 2, 5])  # mostly aligned tops
+            h = GLYPH_H + rng.choice([0, 0, 1, 2, GLYPH_H])  # some drop caps
+            glyphs.append((l + 12 * k, t + dt, l + 12 * k + 10, t + dt + h, 30))
+        g = np.asarray(glyphs, dtype=np.int64)
+        boxes.append((int(g[:, 0].min()), int(g[:, 1].min()),
+                      int(g[:, 2].max()), int(g[:, 3].max()), g))
+    flags = _uniform_flags(boxes)
+    for i, b in enumerate(boxes):
+        assert bool(flags[i]) == bool(_word_is_uniform(b)), (i, b[4])
+
+
+def test_flat_bottom_baseline_equals_fit():
+    """r7 fast-path pin: for words whose glyph bottoms are all equal,
+    fit_baseline returns exactly that bottom (both branches), so the
+    vectorized flat-bottom shortcut is value-identical; non-flat words
+    must still take the exact per-word fit."""
+    from tesseract_rs_spark.kernels.raster import fit_baseline
+
+    rng = np.random.RandomState(11)
+    for _ in range(200):
+        n = rng.randint(1, 12)
+        xs = np.sort(rng.choice(np.arange(0, 400, 12), size=n, replace=False))
+        bottom = int(rng.randint(20, 200))
+        flat = np.stack(
+            [xs, np.full(n, bottom - 18), xs + 10, np.full(n, bottom), np.full(n, 25)],
+            axis=1,
+        ).astype(np.int64)
+        assert fit_baseline(flat) == bottom
+        # a word with unequal bottoms fails the flatness precondition,
+        # so the shortcut can never be taken for it (the decode loop
+        # falls back to this exact per-word fit)
+        if n >= 3:
+            sloped = flat.copy()
+            sloped[:, 3] = bottom + np.arange(n)
+            assert int(sloped[:, 3].max()) != int(sloped[:, 3].min())
+            assert isinstance(fit_baseline(sloped), int)
